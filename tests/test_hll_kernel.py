@@ -1,0 +1,234 @@
+"""Bit-parity and merge-law tests for the HLL kernel (pure numpy, no Spark).
+
+Mirrors the reference's test strategy (SURVEY.md §5): sigma cross-validation
+(/root/reference/HyperLogLog.Tests/CommonTests.cs:43-68), statistical accuracy
+at the reference's measured sizes (/root/reference/HyperLogLog.Tests/
+AccuracyTest.cs:17-63) — strengthened with hard asserts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hyperloglog_spark.sketch import hll
+from hyperloglog_spark.sketch.hashing import (
+    clz64,
+    fnv1a64_utf16le,
+    mix64,
+    popcount64,
+)
+
+from .oracle_hll import (
+    build_registers_scalar,
+    clz64_scalar,
+    estimate_scalar,
+    fnv1a64_utf16le_scalar,
+    mix64_scalar,
+)
+
+ADVERSARIAL = np.array(
+    [0, 1, 2, 3, (1 << 63), (1 << 63) + 1, (1 << 64) - 1, (1 << 50), (1 << 14)]
+    + [1 << k for k in range(64)]
+    + [((1 << 14) - 1) << 50],  # index bits set, suffix all zero -> sigma 65
+    dtype=np.uint64,
+)
+
+
+def rng_hashes(seed: int, n: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+class TestBitKernels:
+    def test_popcount_matches_python(self):
+        xs = np.concatenate([ADVERSARIAL, rng_hashes(1, 100_000)])
+        expect = np.array([bin(int(x)).count("1") for x in xs], dtype=np.uint64)
+        assert np.array_equal(popcount64(xs), expect)
+
+    def test_clz_matches_scalar(self):
+        xs = np.concatenate([ADVERSARIAL, rng_hashes(2, 1_000_000)])
+        got = clz64(xs)
+        sample = np.random.default_rng(3).choice(len(xs), 5000, replace=False)
+        for i in sample:
+            assert got[i] == clz64_scalar(int(xs[i]))
+        assert clz64(np.array([0], dtype=np.uint64))[0] == 64
+
+    def test_mix64_parity(self):
+        xs = np.concatenate([ADVERSARIAL, rng_hashes(4, 10_000)])
+        got = mix64(xs)
+        for i in range(0, len(xs), 97):
+            assert int(got[i]) == mix64_scalar(int(xs[i]))
+
+    def test_fnv1a_utf16_parity(self):
+        strings = ["", "a", "conv-00000001", "héllo wörld", "日本語テキスト",
+                   "x" * 1000, "tool_call:search", "\x00\x01"]
+        got = fnv1a64_utf16le(strings)
+        for s, g in zip(strings, got):
+            assert int(g) == fnv1a64_utf16le_scalar(s), s
+
+    def test_fnv1a_vectorized_variable_lengths(self):
+        rng = np.random.default_rng(7)
+        strings = ["s" * int(k) + str(i) for i, k in
+                   enumerate(rng.integers(0, 200, size=500))]
+        got = fnv1a64_utf16le(strings)
+        for i in range(0, 500, 41):
+            assert int(got[i]) == fnv1a64_utf16le_scalar(strings[i])
+
+
+class TestRegistersAndEstimate:
+    @pytest.mark.parametrize("p", [4, 10, 12, 14, 16])
+    def test_registers_match_scalar_oracle(self, p):
+        hashes = np.concatenate([ADVERSARIAL, rng_hashes(11, 20_000)])
+        sk = hll.from_hashes(hashes, p)
+        expect = np.array(build_registers_scalar(hashes, p), dtype=np.uint8)
+        assert np.array_equal(hll.registers(sk), expect)
+
+    @pytest.mark.parametrize("p", [4, 10, 12, 14, 16])
+    @pytest.mark.parametrize("n", [0, 1, 100, 5_000, 100_000])
+    def test_estimate_matches_scalar_oracle(self, p, n):
+        hashes = rng_hashes(100 * p + n, n)
+        sk = hll.from_hashes(hashes, p)
+        regs = hll.registers(sk)
+        assert hll.estimate(sk) == estimate_scalar(regs.tolist(), p)
+
+    @pytest.mark.parametrize("n", [1_000, 10_000, 20_000, 50_000, 100_000])
+    def test_accuracy_p14_reference_sizes(self, n):
+        """Reference observes 0.45-0.60% avg error at these sizes
+        (/root/reference/HyperLogLog/HyperLogLog14.cs:13-19). Assert each
+        trial within 3 sigma and the average within ~1%."""
+        errs = []
+        for trial in range(20):
+            hashes = np.unique(rng_hashes(n * 31 + trial, n))
+            est = hll.estimate(hll.from_hashes(hashes, 14))
+            err = abs(est - len(hashes)) / len(hashes)
+            errs.append(err)
+            assert err <= 3 * hll.error_bound(14), (n, trial, est, len(hashes))
+        assert np.mean(errs) <= 0.012, (n, np.mean(errs))
+
+    @pytest.mark.parametrize("p,n", [(14, 5), (14, 100), (14, 11_000),
+                                     (14, 12_000), (14, 90_000),
+                                     (12, 3_000), (12, 3_200), (10, 850),
+                                     (16, 48_000), (16, 52_000)])
+    def test_regime_boundaries(self, p, n):
+        """Cardinalities straddling the LC -> bias-corrected -> raw-HLL
+        thresholds (/root/reference/HyperLogLog/Utils.cs:214-250, 273)."""
+        hashes = np.unique(rng_hashes(p * 1000 + n, n))
+        est = hll.estimate(hll.from_hashes(hashes, p))
+        bound = 4 * hll.error_bound(p) * len(hashes) + 2
+        assert abs(est - len(hashes)) <= bound
+
+    def test_small_cardinality_exact(self):
+        """Tiny cardinalities at p=14: linear counting rounds to exact."""
+        for n in (0, 1, 2, 5, 25, 60):
+            hashes = mix64(np.arange(n, dtype=np.uint64))
+            assert hll.estimate(hll.from_hashes(hashes, 14)) == n
+
+
+class TestCodec:
+    def test_sparse_roundtrip(self):
+        hashes = rng_hashes(21, 50)
+        sk = hll.from_hashes(hashes, 14)
+        assert sk[5] == hll.MODE_SPARSE
+        assert len(sk) == 6 + 3 * np.count_nonzero(hll.registers(sk))
+
+    def test_dense_roundtrip(self):
+        hashes = rng_hashes(22, 100_000)
+        sk = hll.from_hashes(hashes, 14)
+        assert sk[5] == hll.MODE_DENSE
+        assert len(sk) == 6 + (1 << 14)
+
+    def test_promotion_threshold(self):
+        assert hll.sparse_max_elements(14) == (1 << 14) // 15 - 10
+        assert hll.sparse_max_elements(4) == 0  # 16//15-10 < 0 -> dense always
+        sk = hll.from_hashes(rng_hashes(23, 3), 4)
+        assert sk[5] == hll.MODE_DENSE
+
+    def test_empty(self):
+        assert hll.estimate(hll.empty(14)) == 0
+        assert hll.precision(hll.empty(9)) == 9
+
+    def test_bad_input_raises(self):
+        with pytest.raises(ValueError):
+            hll.registers(b"garbage")
+        with pytest.raises(ValueError):
+            hll.empty(3)
+        with pytest.raises(ValueError):
+            hll.empty(17)
+
+    def test_update_incremental(self):
+        h1, h2 = rng_hashes(31, 5_000), rng_hashes(32, 5_000)
+        once = hll.from_hashes(np.concatenate([h1, h2]), 14)
+        stepwise = hll.update(hll.from_hashes(h1, 14), h2)
+        assert once == stepwise
+
+
+class TestMergeLaws:
+    def _parts(self, k, n_each, p, seed=50):
+        return [hll.from_hashes(rng_hashes(seed + i, n_each), p) for i in range(k)]
+
+    @pytest.mark.parametrize("p", [4, 14, 16])
+    @pytest.mark.parametrize("k,n_each", [(2, 10), (3, 500), (8, 5_000), (16, 50)])
+    def test_shuffled_merge_byte_identical(self, p, k, n_each):
+        parts = self._parts(k, n_each, p)
+        base = hll.merge_many(parts)
+        rng = np.random.default_rng(99)
+        for _ in range(5):
+            order = rng.permutation(k)
+            assert hll.merge_many([parts[i] for i in order]) == base
+
+    def test_rebracketed_merge(self):
+        parts = self._parts(6, 2_000, 14)
+        left = hll.merge(hll.merge_many(parts[:3]), hll.merge_many(parts[3:]))
+        right = hll.merge_many(parts)
+        assert left == right
+
+    def test_idempotent(self):
+        sk = hll.from_hashes(rng_hashes(60, 1_000), 14)
+        assert hll.merge(sk, sk) == sk
+
+    def test_merge_equals_single_pass(self):
+        chunks = [rng_hashes(70 + i, 4_000) for i in range(5)]
+        merged = hll.merge_many([hll.from_hashes(c, 14) for c in chunks])
+        single = hll.from_hashes(np.concatenate(chunks), 14)
+        assert merged == single
+
+    def test_sparse_dense_mixes(self):
+        small = hll.from_hashes(rng_hashes(80, 10), 14)
+        big = hll.from_hashes(rng_hashes(81, 80_000), 14)
+        assert small[5] == hll.MODE_SPARSE and big[5] == hll.MODE_DENSE
+        m1 = hll.merge(small, big)
+        m2 = hll.merge(big, small)
+        assert m1 == m2
+        assert np.array_equal(
+            hll.registers(m1),
+            np.maximum(hll.registers(small), hll.registers(big)),
+        )
+
+    def test_mixed_precision_raises(self):
+        with pytest.raises(ValueError, match="precision"):
+            hll.merge(hll.empty(12), hll.empty(14))
+
+    def test_sparse_sparse_stays_sparse(self):
+        a = hll.from_hashes(rng_hashes(90, 20), 14)
+        b = hll.from_hashes(rng_hashes(91, 20), 14)
+        assert hll.merge(a, b)[5] == hll.MODE_SPARSE
+
+
+class TestGrouped:
+    def test_group_from_hashes_matches_per_group_build(self):
+        rng = np.random.default_rng(101)
+        n, g = 50_000, 37
+        codes = rng.integers(0, g, size=n).astype(np.int64)
+        hashes = rng_hashes(102, n)
+        grouped = hll.group_from_hashes(codes, hashes, g, 14)
+        assert len(grouped) == g
+        for gi in range(g):
+            expect = hll.from_hashes(hashes[codes == gi], 14)
+            assert grouped[gi] == expect
+
+    def test_empty_groups(self):
+        grouped = hll.group_from_hashes(
+            np.array([2, 2], dtype=np.int64),
+            rng_hashes(103, 2), 4 + 1, 14)
+        assert hll.estimate(grouped[0]) == 0
+        assert hll.estimate(grouped[2]) == 2
