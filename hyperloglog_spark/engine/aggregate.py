@@ -1,0 +1,220 @@
+"""Two-phase distributed sketch aggregation.
+
+Python UDAFs get no automatic partial aggregation from Catalyst, so the
+map-side combine is built explicitly (SURVEY.md §3.4):
+
+    phase 1 (mapInArrow):  per-partition, per-group vectorized sketch build —
+                           one output row per (partition, group), each a
+                           BinaryType sketch (16 KB dense / smaller sparse)
+    phase 2 (shuffle):     groupBy(group_cols).applyInPandas — associative
+                           merge of the tiny partials, then finalize
+
+The shuffle therefore moves #partitions x #groups sketch rows, never data
+rows — this is what makes the pipeline scan-bound and embarrassingly parallel
+at 100 TB (the reference's designed-in distribution hook is the register-max
+monoid, /root/reference/HyperLogLog/HyperLogLog.cs:733-781; we exploit the
+same property for every sketch kind).
+
+Hashing runs JVM-side by default (``F.xxhash64``, whole-stage codegen; only
+8-byte hashes cross the Arrow boundary, not strings). ``hashing="parity"``
+instead ships raw values to Python and applies the reference's FNV-1a 64 /
+Murmur-finalizer for bit-parity with the reference sketches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SKETCH_COL = "sketch"
+_GLOBAL_KEY = "__all__"
+
+
+class SketchAggregator:
+    """Adapter every sketch kind implements to ride the two-phase pipeline.
+
+    build_grouped: (codes int64[n], values dict[col -> np.ndarray/pd.Series],
+                    n_groups) -> list[bytes]   (vectorized batch build)
+    merge_many:    (list[bytes]) -> bytes
+    finalize:      (bytes) -> dict[field -> python value]
+    finalize_schema: pyspark StructType fields for the finalized values
+    """
+
+    name: str = "sketch"
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]) -> list[Column]:
+        """Spark-side (JVM) preparation of the value columns."""
+        raise NotImplementedError
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        raise NotImplementedError
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        raise NotImplementedError
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        raise NotImplementedError
+
+    finalize_fields: list[T.StructField] = []
+
+
+def _isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return v is None or bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _group_field(df: DataFrame, name: str) -> T.StructField:
+    for f in df.schema.fields:
+        if f.name == name:
+            return f
+    raise ValueError(f"group column {name!r} not in schema {df.schema.simpleString()}")
+
+
+def sketch_partials(
+    df: DataFrame,
+    value_cols: list[str],
+    agg: SketchAggregator,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Phase 1: one sketch row per (partition, group)."""
+    group_cols = list(group_cols or [])
+    prepared = agg.prepare_columns(df, value_cols)
+    value_names = [f"__v{i}" for i in range(len(prepared))]
+    proj = df.select(
+        *[F.col(c) for c in group_cols],
+        *[c.alias(n) for c, n in zip(prepared, value_names)],
+    )
+
+    out_fields = [_group_field(df, c) for c in group_cols] + [
+        T.StructField(SKETCH_COL, T.BinaryType(), False)
+    ]
+    out_schema = T.StructType(out_fields)
+    out_arrow = pa.schema(
+        [pa.field(f.name, _to_arrow(f.dataType)) for f in out_fields]
+    )
+
+    n_groups_cols = len(group_cols)
+    build_grouped = agg.build_grouped
+    merge_many = agg.merge_many
+
+    def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[tuple, bytes] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            values = {
+                n: batch.column(n_groups_cols + i)
+                for i, n in enumerate(value_names)
+            }
+            if n_groups_cols == 0:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                uniques: list[tuple] = [(_GLOBAL_KEY,)]
+            else:
+                import pandas as pd
+
+                key_cols = [
+                    batch.column(i).to_pandas() for i in range(n_groups_cols)
+                ]
+                if n_groups_cols == 1:
+                    codes_arr, uniq = pd.factorize(key_cols[0], use_na_sentinel=False)
+                    uniques = [(u,) for u in uniq]
+                else:
+                    mi = pd.MultiIndex.from_arrays(key_cols)
+                    codes_arr, uniq = pd.factorize(mi, use_na_sentinel=False)
+                    uniques = list(uniq)
+                codes = codes_arr.astype(np.int64)
+            sketches = build_grouped(codes, values, len(uniques))
+            for key, sk in zip(uniques, sketches):
+                prev = acc.get(key)
+                acc[key] = sk if prev is None else merge_many([prev, sk])
+        if not acc:
+            return
+        keys = list(acc.keys())
+        arrays = []
+        for i in range(n_groups_cols):
+            col_vals = [None if _isna(k[i]) else k[i] for k in keys]
+            arrays.append(pa.array(col_vals, type=out_arrow.field(i).type))
+        arrays.append(
+            pa.array([acc[k] for k in keys], type=pa.binary())
+        )
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_arrow)
+
+    return proj.mapInArrow(build_partition, out_schema)
+
+
+def sketch_agg(
+    df: DataFrame,
+    value_cols: list[str],
+    agg: SketchAggregator,
+    group_cols: list[str] | None = None,
+    finalize: bool = True,
+) -> DataFrame:
+    """Full two-phase aggregation. Returns group_cols + finalized fields
+    (or group_cols + the merged sketch when finalize=False)."""
+    group_cols = list(group_cols or [])
+    partials = sketch_partials(df, value_cols, agg, group_cols)
+
+    dummy = not group_cols
+    if dummy:
+        partials = partials.withColumn("__g", F.lit(1))
+        key_cols = ["__g"]
+    else:
+        key_cols = group_cols
+
+    if finalize:
+        tail_fields = list(agg.finalize_fields)
+    else:
+        tail_fields = [T.StructField(SKETCH_COL, T.BinaryType(), False)]
+    out_schema = T.StructType(
+        [_group_field(partials, c) for c in key_cols] + tail_fields
+    )
+    merge_many = agg.merge_many
+    fin = agg.finalize
+    tail_names = [f.name for f in tail_fields]
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        merged = merge_many(list(pdf[SKETCH_COL]))
+        row = {c: [pdf[c].iloc[0]] for c in key_cols}
+        if finalize:
+            vals = fin(merged)
+            for n in tail_names:
+                row[n] = [vals[n]]
+        else:
+            row[SKETCH_COL] = [merged]
+        return pd.DataFrame(row)
+
+    out = partials.groupBy(*key_cols).applyInPandas(merge_group, out_schema)
+    if dummy:
+        out = out.drop("__g")
+    return out
+
+
+def _to_arrow(dt: T.DataType) -> pa.DataType:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
+
+
+def collect_merged(
+    df: DataFrame,
+    value_cols: list[str],
+    agg: SketchAggregator,
+) -> bytes:
+    """Driver-side variant: build partials distributed, tree-merge locally.
+    Returns the merged sketch bytes (useful for estimate-at-driver flows)."""
+    rows = sketch_partials(df, value_cols, agg).collect()
+    if not rows:
+        raise ValueError("no input rows")
+    return agg.merge_many([r[SKETCH_COL] for r in rows])
