@@ -1,0 +1,189 @@
+"""Count-min DataFrame API: distributed frequency sketching and heavy hitters.
+
+    cms_df  = cms_agg(df, "tool")                      # sketch per group
+    topk_df = cms_topk(df, "tool", k=10)               # heavy hitters
+
+``cms_topk`` is the scalable heavy-hitter operator: one pass builds, per
+partition, a CMS plus a bounded local-candidate list (any global heavy hitter
+is a local heavy hitter in at least one partition when candidates_per_partition
+is sized generously); the merge stage unions candidates, point-queries the
+merged CMS, and emits the top k. Shuffle volume is one sketch + one candidate
+list per partition — independent of data size.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .engine.aggregate import SketchAggregator, sketch_agg
+from .functions import _drop_null_rows, _to_numpy_u64
+from .sketch import cms
+
+__all__ = ["CmsAggregator", "cms_agg", "cms_topk", "cms_point_query_udf"]
+
+
+class CmsAggregator(SketchAggregator):
+    name = "cms"
+
+    def __init__(self, d: int = cms.DEFAULT_D, log2_w: int = cms.DEFAULT_LOG2_W):
+        cms.empty(d, log2_w)  # validate eagerly
+        self.d, self.log2_w = d, log2_w
+        self.finalize_fields = [T.StructField("n_total", T.LongType(), False)]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        return [F.xxhash64(*[F.col(c) for c in cols])]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        (arr,) = values.values()
+        hashes = _to_numpy_u64(arr)
+        if n_groups == 1:
+            return [cms.from_hashes(hashes, d=self.d, log2_w=self.log2_w)]
+        order = np.argsort(codes, kind="stable")
+        sc, sh = codes[order], hashes[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [
+            cms.from_hashes(sh[bounds[g]: bounds[g + 1]], d=self.d,
+                            log2_w=self.log2_w)
+            for g in range(n_groups)
+        ]
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return cms.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        _, _, n = cms.params(sketch)
+        return {"n_total": n}
+
+
+def cms_agg(
+    df: DataFrame,
+    cols: str | list[str],
+    group_by: str | list[str] | None = None,
+    d: int = cms.DEFAULT_D,
+    log2_w: int = cms.DEFAULT_LOG2_W,
+) -> DataFrame:
+    """Per-group CMS sketches as a BinaryType column."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = CmsAggregator(d, log2_w)
+    return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by, finalize=False)
+
+
+def cms_point_query_udf(sketch: bytes):
+    """Scalar pandas UDF factory: hash column (int64) -> estimated count."""
+    sketch = bytes(sketch)
+
+    @F.pandas_udf(T.LongType())
+    def q(hashes):
+        import pandas as pd
+
+        h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(cms.point_query(sketch, h).astype(np.int64))
+
+    return q
+
+
+def cms_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    d: int = cms.DEFAULT_D,
+    log2_w: int = cms.DEFAULT_LOG2_W,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Approximate top-k heavy hitters of ``col``.
+
+    Returns (col, approx_count) ordered by approx_count DESC, col ASC
+    (deterministic tie-break). approx_count is the CMS point estimate of the
+    merged sketch (>= true count; == true count when the value space is far
+    below the sketch width).
+    """
+    if candidates_per_partition is None:
+        candidates_per_partition = max(4 * k, 64)
+    cpp = candidates_per_partition
+    src = _drop_null_rows(df, [col])
+    col_field = next(f for f in src.schema.fields if f.name == col)
+
+    proj = src.select(F.col(col).alias("v"), F.xxhash64(col).alias("h"))
+    part_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType(), False),
+        T.StructField("cand_v", T.ArrayType(col_field.dataType), False),
+        T.StructField("cand_h", T.ArrayType(T.LongType()), False),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_schema = pa.schema([
+        pa.field(f.name, to_arrow_type(f.dataType)) for f in part_schema.fields
+    ])
+
+    def build(batches):
+        import pandas as pd
+
+        tbl: bytes | None = None
+        counts: dict[Any, tuple[int, int]] = {}  # value -> (count, hash)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = _to_numpy_u64(batch.column(1))
+            part = cms.from_hashes(h, d=d, log2_w=log2_w)
+            tbl = part if tbl is None else cms.merge_many([tbl, part])
+            vs = batch.column(0).to_pandas()
+            hs = batch.column(1).to_pandas()
+            vc = pd.DataFrame({"v": vs, "h": hs}).groupby(
+                "v", sort=False
+            ).agg(n=("v", "size"), h=("h", "first"))
+            for v, row in vc.iterrows():
+                old = counts.get(v)
+                counts[v] = (
+                    (old[0] + int(row["n"]), old[1]) if old
+                    else (int(row["n"]), int(row["h"]))
+                )
+        if tbl is None:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:cpp]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([tbl], type=pa.binary()),
+                pa.array([[v for v, _ in top]], type=arrow_schema.field(1).type),
+                pa.array([[ch for _, (_, ch) in top]], type=pa.list_(pa.int64())),
+            ],
+            schema=arrow_schema,
+        )
+
+    partials = proj.mapInArrow(build, part_schema).withColumn("__g", F.lit(1))
+
+    out_schema = T.StructType([
+        T.StructField(col, col_field.dataType, True),
+        T.StructField("approx_count", T.LongType(), False),
+    ])
+
+    def merge_rank(pdf):
+        import pandas as pd
+
+        merged = cms.merge_many(list(pdf["sketch"]))
+        cand: dict[Any, int] = {}
+        for vs, hs in zip(pdf["cand_v"], pdf["cand_h"]):
+            for v, ch in zip(vs, hs):
+                cand[v] = int(ch)
+        values = list(cand.keys())
+        hashes = np.array([cand[v] for v in values], dtype=np.int64).view(np.uint64)
+        ests = cms.point_query(merged, hashes).astype(np.int64)
+        order = sorted(
+            range(len(values)), key=lambda i: (-int(ests[i]), values[i])
+        )[:k]
+        return pd.DataFrame({
+            col: [values[i] for i in order],
+            "approx_count": [int(ests[i]) for i in order],
+        })
+
+    return (
+        partials.groupBy("__g")
+        .applyInPandas(lambda pdf: merge_rank(pdf), out_schema)
+        .orderBy(F.desc("approx_count"), F.asc(col))
+    )

@@ -1,0 +1,122 @@
+"""Bloom-filter DataFrame API: distributed build (two-phase OR-merge) and
+vectorized membership probes.
+
+    sk = bloom_build(df, "c_custkey", expected_items=200_000)
+    probed = with_might_contain(other_df, "key_col", sk, alias="seen")
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
+from .functions import _drop_null_rows, _to_numpy_u64
+from .sketch import bloom
+
+__all__ = [
+    "BloomAggregator",
+    "bloom_build",
+    "bloom_agg",
+    "with_might_contain",
+]
+
+
+class BloomAggregator(SketchAggregator):
+    name = "bloom"
+
+    def __init__(self, m_bits: int = bloom.DEFAULT_M_BITS, k: int = bloom.DEFAULT_K):
+        bloom.empty(m_bits, k)  # validate eagerly
+        self.m_bits, self.k = m_bits, k
+        self.finalize_fields = [
+            T.StructField("n_added", T.LongType(), False),
+            T.StructField("fill_ratio", T.DoubleType(), False),
+        ]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        return [F.xxhash64(*[F.col(c) for c in cols])]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        (arr,) = values.values()
+        hashes = _to_numpy_u64(arr)
+        if n_groups == 1:
+            return [bloom.from_hashes(hashes, self.m_bits, self.k)]
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_hashes = hashes[order]
+        bounds = np.searchsorted(sorted_codes, np.arange(n_groups + 1))
+        return [
+            bloom.from_hashes(
+                sorted_hashes[bounds[g]: bounds[g + 1]], self.m_bits, self.k
+            )
+            for g in range(n_groups)
+        ]
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return bloom.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        _, _, n = bloom.params(sketch)
+        return {"n_added": n, "fill_ratio": bloom.fill_ratio(sketch)}
+
+
+def bloom_build(
+    df: DataFrame,
+    cols: str | list[str],
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> bytes:
+    """Distributed build -> driver-held filter bytes."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if m_bits is None or k is None:
+        if expected_items is None:
+            raise ValueError("pass expected_items (or explicit m_bits and k)")
+        m_bits, k = bloom.optimal_params(expected_items, fpp)
+    agg = BloomAggregator(m_bits, k)
+    return collect_merged(_drop_null_rows(df, cols), cols, agg)
+
+
+def bloom_agg(
+    df: DataFrame,
+    cols: str | list[str],
+    group_by: str | list[str] | None = None,
+    m_bits: int = bloom.DEFAULT_M_BITS,
+    k: int = bloom.DEFAULT_K,
+) -> DataFrame:
+    """Per-group Bloom sketches as a BinaryType column."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = BloomAggregator(m_bits, k)
+    return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by, finalize=False)
+
+
+def with_might_contain(
+    df: DataFrame,
+    cols: str | list[str],
+    sketch: bytes,
+    alias: str = "might_contain",
+) -> DataFrame:
+    """Add a boolean column probing the filter. Hashing stays JVM-side
+    (xxhash64, identical to the build path); the probe UDF only touches
+    8-byte hashes. The filter bytes ride along as a closure constant
+    (broadcast-sized: m_bits/8 bytes)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    sketch = bytes(sketch)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(hashes):
+        import pandas as pd
+
+        h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        out = bloom.might_contain(sketch, h)
+        return pd.Series(out)
+
+    hcol = F.xxhash64(*[F.col(c) for c in cols])
+    return df.withColumn(alias, probe(hcol))

@@ -1,0 +1,162 @@
+"""Kernel + Spark tests for Bloom filter and count-min sketch
+(SURVEY.md §2.4, §5.2 layer 8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_spark.frequency import cms_agg, cms_point_query_udf, cms_topk
+from hyperloglog_spark.membership import bloom_agg, bloom_build, with_might_contain
+from hyperloglog_spark.sketch import bloom, cms
+from hyperloglog_spark.sketch.hashing import mix64
+
+
+def hashes_of(seed: int, n: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+class TestBloomKernel:
+    def test_no_false_negatives(self):
+        members = hashes_of(1, 50_000)
+        sk = bloom.from_hashes(members, 1 << 20, 7)
+        assert bloom.might_contain(sk, members).all()
+
+    def test_fpp_near_theory(self):
+        members = hashes_of(2, 100_000)
+        m_bits, k = bloom.optimal_params(100_000, fpp=0.01)
+        sk = bloom.from_hashes(members, m_bits, k)
+        probes = hashes_of(3, 200_000)  # essentially disjoint from members
+        fp = bloom.might_contain(sk, probes).mean()
+        assert fp <= 3 * 0.01, fp
+        assert abs(bloom.expected_fpp(sk) - fp) < 0.01
+
+    def test_merge_laws(self):
+        parts = [bloom.from_hashes(hashes_of(10 + i, 5_000), 1 << 16, 5)
+                 for i in range(6)]
+        base = bloom.merge_many(parts)
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            order = rng.permutation(6)
+            assert bloom.merge_many([parts[i] for i in order]) == base
+        single = bloom.from_hashes(
+            np.concatenate([hashes_of(10 + i, 5_000) for i in range(6)]),
+            1 << 16, 5)
+        assert bloom.bitset(base).tobytes() == bloom.bitset(single).tobytes()
+
+    def test_param_mismatch_raises(self):
+        with pytest.raises(ValueError, match="params"):
+            bloom.merge_many([bloom.empty(1 << 10, 3), bloom.empty(1 << 11, 3)])
+
+    def test_optimal_params_sane(self):
+        m, k = bloom.optimal_params(1_000_000, 0.01)
+        assert m >= 9_000_000 and 1 <= k <= 30
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            bloom.empty(1000, 3)  # not a power of two
+        with pytest.raises(ValueError):
+            bloom.empty(1 << 10, 0)
+
+
+class TestCmsKernel:
+    def test_overestimate_only_and_bounded(self):
+        rng = np.random.default_rng(5)
+        values = rng.zipf(1.3, size=200_000)
+        values = values[values < 10_000].astype(np.int64)
+        hashes = mix64(values)
+        sk = cms.from_hashes(hashes)
+        uniq, true_counts = np.unique(values, return_counts=True)
+        est = cms.point_query(sk, mix64(uniq))
+        assert (est.astype(np.int64) >= true_counts).all()
+        eps, _ = cms.error_bound(sk)
+        n = len(values)
+        over = est.astype(np.int64) - true_counts
+        assert (over <= max(eps * n, 1) * 20).all()
+        # vast majority exact at this width
+        assert (over == 0).mean() > 0.95
+
+    def test_merge_equals_single_pass(self):
+        chunks = [hashes_of(20 + i, 30_000) for i in range(4)]
+        merged = cms.merge_many([cms.from_hashes(c) for c in chunks])
+        single = cms.from_hashes(np.concatenate(chunks))
+        assert np.array_equal(cms.table(merged), cms.table(single))
+        d, w, n = cms.params(merged)
+        assert n == 120_000
+
+    def test_merge_commutative(self):
+        a = cms.from_hashes(hashes_of(30, 1_000))
+        b = cms.from_hashes(hashes_of(31, 50_000))
+        assert cms.merge_many([a, b]) == cms.merge_many([b, a])
+
+    def test_sparse_small_group(self):
+        sk = cms.from_hashes(hashes_of(40, 10))
+        assert len(sk) < 1000  # sparse encoding, not d*w*8
+        assert cms.point_query(sk, hashes_of(40, 10)).min() >= 1
+
+    def test_weighted_counts(self):
+        h = hashes_of(41, 5)
+        sk = cms.from_hashes(h, counts=np.array([7, 1, 3, 2, 11]))
+        est = cms.point_query(sk, h)
+        assert (est >= np.array([7, 1, 3, 2, 11])).all()
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError, match="shape"):
+            cms.merge_many([cms.empty(4, 10), cms.empty(4, 12)])
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/events.parquet").cache()
+
+
+class TestBloomSpark:
+    def test_build_and_probe_members(self, spark, sf01_dir, events):
+        cust = spark.read.parquet(f"{sf01_dir}/customer.parquet")
+        sk = bloom_build(cust, "c_custkey", expected_items=5_000, fpp=0.001)
+        probed = with_might_contain(cust, "c_custkey", sk, alias="seen")
+        assert probed.filter(~F.col("seen")).count() == 0  # no false negatives
+
+    def test_probe_nonmembers_low_fpp(self, spark, sf01_dir):
+        cust = spark.read.parquet(f"{sf01_dir}/customer.parquet")
+        sk = bloom_build(cust, "c_custkey", expected_items=5_000, fpp=0.001)
+        non = spark.range(10_000_000, 10_020_000).withColumnRenamed("id", "key")
+        fp = with_might_contain(non, "key", sk, alias="seen").filter(
+            F.col("seen")).count()
+        assert fp <= 20_000 * 0.01
+
+    def test_grouped_bloom(self, events):
+        grouped = bloom_agg(events, "user_id", group_by="event_type",
+                            m_bits=1 << 14, k=5)
+        assert grouped.count() == events.select("event_type").distinct().count()
+
+
+class TestCmsSpark:
+    def test_topk_matches_exact(self, events):
+        got = cms_topk(events, "event_type", k=5).collect()
+        exact = (
+            events.groupBy("event_type").count()
+            .orderBy(F.desc("count"), F.asc("event_type")).collect()
+        )
+        assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in exact]
+
+    def test_point_query_udf(self, events, spark):
+        sk_row = cms_agg(events, "event_type").collect()[0]
+        sk = sk_row["sketch"]
+        distinct = events.select("event_type").distinct()
+        est = distinct.withColumn(
+            "est", cms_point_query_udf(sk)(F.xxhash64("event_type"))
+        ).collect()
+        exact = {
+            r["event_type"]: r["count"]
+            for r in events.groupBy("event_type").count().collect()
+        }
+        for r in est:
+            assert r["est"] >= exact[r["event_type"]]
+            assert r["est"] <= exact[r["event_type"]] + 10
+
+    def test_topk_deterministic_across_partitioning(self, events):
+        a = cms_topk(events.repartition(16), "user_id", k=10).collect()
+        b = cms_topk(events.repartition(2), "user_id", k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
