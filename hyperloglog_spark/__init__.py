@@ -5,18 +5,30 @@ BinaryType aggregators with explicit two-phase partial aggregation, built
 for transcripts-scale tables (see SURVEY.md / BASELINE.json).
 """
 
+from .frequency import cms_agg, cms_point_query_udf, cms_topk
 from .functions import (
     approx_distinct,
     hll_estimate_udf,
     hll_merged_sketch,
     hll_sketch_agg,
 )
+from .membership import bloom_agg, bloom_build, with_might_contain
+from .quantiles import approx_quantiles, kll_agg, tdigest_agg
 
 __version__ = "0.1.0"
 
 __all__ = [
     "approx_distinct",
+    "approx_quantiles",
+    "bloom_agg",
+    "bloom_build",
+    "cms_agg",
+    "cms_point_query_udf",
+    "cms_topk",
     "hll_estimate_udf",
     "hll_merged_sketch",
     "hll_sketch_agg",
+    "kll_agg",
+    "tdigest_agg",
+    "with_might_contain",
 ]

@@ -1,0 +1,140 @@
+"""Quantile DataFrame API over the KLL and t-digest kernels.
+
+    approx_quantiles(df, "l_extendedprice", [0.5, 0.9, 0.99])
+    approx_quantiles(df, "value", [0.5], group_by="event_type",
+                     method="tdigest")
+    kll_agg(df, "x", group_by="g")        # sketch column, merge later
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
+from .functions import _drop_null_rows
+from .sketch import kll, tdigest
+
+__all__ = [
+    "KllAggregator",
+    "TDigestAggregator",
+    "approx_quantiles",
+    "kll_agg",
+    "tdigest_agg",
+]
+
+
+def _q_name(q: float) -> str:
+    return "q" + f"{q:g}".replace("0.", "").replace(".", "_")
+
+
+class _QuantileAggregator(SketchAggregator):
+    module = None  # kll or tdigest
+
+    def __init__(self, qs: list[float] | None = None, **params):
+        self.qs = list(qs or [0.5])
+        if any(not 0 <= q <= 1 for q in self.qs):  # fail fast on the driver
+            raise ValueError(f"quantile ranks must be in [0, 1]: {self.qs}")
+        self.params = params
+        self.finalize_fields = [
+            T.StructField(_q_name(q), T.DoubleType(), True) for q in self.qs
+        ]
+
+    def _build(self, values: np.ndarray) -> bytes:
+        raise NotImplementedError
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        if len(cols) != 1:
+            raise ValueError("quantile sketches take exactly one column")
+        return [F.col(cols[0]).cast("double")]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        (arr,) = values.values()
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        if n_groups == 1:
+            return [self._build(vals)]
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [self._build(sv[bounds[g]: bounds[g + 1]])
+                for g in range(n_groups)]
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return self.module.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        vals = self.module.quantiles(sketch, self.qs)
+        return {
+            _q_name(q): (None if np.isnan(v) else float(v))
+            for q, v in zip(self.qs, vals)
+        }
+
+
+class KllAggregator(_QuantileAggregator):
+    name = "kll"
+    module = kll
+
+    def _build(self, values: np.ndarray) -> bytes:
+        return kll.from_values(values, self.params.get("k", kll.DEFAULT_K))
+
+
+class TDigestAggregator(_QuantileAggregator):
+    name = "tdigest"
+    module = tdigest
+
+    def _build(self, values: np.ndarray) -> bytes:
+        return tdigest.from_values(
+            values, self.params.get("delta", tdigest.DEFAULT_DELTA)
+        )
+
+
+def _make_agg(method: str, qs=None, **params) -> _QuantileAggregator:
+    if method == "kll":
+        return KllAggregator(qs, **params)
+    if method == "tdigest":
+        return TDigestAggregator(qs, **params)
+    raise ValueError(f"method must be 'kll' or 'tdigest', got {method!r}")
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    group_by: str | list[str] | None = None,
+    method: str = "kll",
+    **params,
+) -> DataFrame:
+    """Approximate quantiles of ``col`` at ranks ``qs`` (optionally per
+    group). Output columns are named q5, q9, q99, ... after the rank with
+    the leading "0." stripped (0.5 -> q5, 0.99 -> q99)."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = _make_agg(method, qs, **params)
+    return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by)
+
+
+def kll_agg(
+    df: DataFrame,
+    col: str,
+    group_by: str | list[str] | None = None,
+    k: int = kll.DEFAULT_K,
+) -> DataFrame:
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = KllAggregator(k=k)
+    return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by,
+                      finalize=False)
+
+
+def tdigest_agg(
+    df: DataFrame,
+    col: str,
+    group_by: str | list[str] | None = None,
+    delta: int = tdigest.DEFAULT_DELTA,
+) -> DataFrame:
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = TDigestAggregator(delta=delta)
+    return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by,
+                      finalize=False)

@@ -1,0 +1,190 @@
+"""t-digest kernel (Dunning & Ertl, "Computing extremely accurate quantiles
+using t-digests", 2019) — merging-digest variant, fully deterministic.
+
+Mergeable quantile sketch with relative accuracy concentrated at the tails
+(scale function k1). Not present in the reference — added per BASELINE.json
+north_star (SURVEY.md §2.4) as the cross-check quantile backend next to KLL.
+
+Determinism: no RNG anywhere — a digest is a pure function of the multiset of
+(mean, weight) centroids fed to the merge pass, and ``merge_many``
+concatenates + sorts all inputs before one compression pass, so merge order
+never changes the output bytes.
+
+Codec: header(4) | delta(u16) | n(u64) | min(f64) | max(f64) |
+       n_centroids(u32) | means f64[] | weights f64[]
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .codec import KIND_TDIGEST, check_header, pack_header
+
+DEFAULT_DELTA = 100
+
+_HDR = struct.Struct("<HQddI")
+
+
+def _k1(q: np.ndarray, delta: int) -> np.ndarray:
+    return (delta / (2 * math.pi)) * np.arcsin(2 * q - 1)
+
+
+def _compress(
+    means: np.ndarray, weights: np.ndarray, delta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One merge pass over centroids sorted by mean (the merging-digest
+    algorithm): greedily absorb neighbors while the k1 size budget allows."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_means: list[float] = []
+    out_weights: list[float] = []
+    # current accumulating centroid
+    acc_w = weights[0]
+    acc_sum = means[0] * weights[0]
+    w_so_far = 0.0  # weight fully emitted so far
+    q_limit_w = _q_limit_weight(0.0, total, delta)
+    for i in range(1, len(means)):
+        w = weights[i]
+        if acc_w + w <= q_limit_w:
+            acc_w += w
+            acc_sum += means[i] * w
+        else:
+            out_means.append(acc_sum / acc_w)
+            out_weights.append(acc_w)
+            w_so_far += acc_w
+            q_limit_w = _q_limit_weight(w_so_far / total, total, delta)
+            acc_w, acc_sum = w, means[i] * w
+    out_means.append(acc_sum / acc_w)
+    out_weights.append(acc_w)
+    return np.array(out_means), np.array(out_weights)
+
+
+def _q_limit_weight(q0: float, total: float, delta: int) -> float:
+    """Max weight of a centroid starting at cumulative fraction q0."""
+    k0 = (delta / (2 * math.pi)) * math.asin(2 * min(q0, 1.0) - 1)
+    k1 = k0 + 1.0
+    q1 = 0.5 * (math.sin(2 * math.pi * k1 / delta) + 1) if k1 < delta / 4 else 1.0
+    q1 = min(max(q1, q0), 1.0)
+    return max((q1 - q0) * total, 1.0)
+
+
+def _serialize(delta: int, n: int, vmin: float, vmax: float,
+               means: np.ndarray, weights: np.ndarray) -> bytes:
+    return (
+        pack_header(KIND_TDIGEST)
+        + _HDR.pack(delta, n, vmin, vmax, len(means))
+        + means.astype("<f8").tobytes()
+        + weights.astype("<f8").tobytes()
+    )
+
+
+def _deserialize(sketch: bytes):
+    body = check_header(sketch, KIND_TDIGEST)
+    delta, n, vmin, vmax, c = _HDR.unpack_from(body, 0)
+    off = _HDR.size
+    means = np.frombuffer(body[off: off + 8 * c], dtype="<f8").astype(np.float64)
+    weights = np.frombuffer(body[off + 8 * c: off + 16 * c], dtype="<f8").astype(
+        np.float64
+    )
+    return delta, n, vmin, vmax, means, weights
+
+
+def empty(delta: int = DEFAULT_DELTA) -> bytes:
+    if not 20 <= delta <= 10000:
+        raise ValueError(f"delta must be in [20, 10000], got {delta}")
+    return _serialize(delta, 0, math.inf, -math.inf, np.empty(0), np.empty(0))
+
+
+def from_values(values: np.ndarray, delta: int = DEFAULT_DELTA) -> bytes:
+    return update(empty(delta), values)
+
+
+def update(sketch: bytes, values: np.ndarray) -> bytes:
+    delta, n, vmin, vmax, means, weights = _deserialize(sketch)
+    vals = np.asarray(values, dtype=np.float64)
+    vals = vals[~np.isnan(vals)]
+    if len(vals) == 0:
+        return bytes(sketch)
+    new_means = np.concatenate([means, vals])
+    new_weights = np.concatenate([weights, np.ones(len(vals))])
+    cm, cw = _compress(new_means, new_weights, delta)
+    return _serialize(
+        delta,
+        n + len(vals),
+        min(vmin, float(vals.min())),
+        max(vmax, float(vals.max())),
+        cm,
+        cw,
+    )
+
+
+def merge_many(sketches) -> bytes:
+    """Multiset merge: order-independent by construction."""
+    sketches = [s for s in sketches if s is not None]
+    if not sketches:
+        raise ValueError("merge_many needs at least one sketch")
+    parts = [_deserialize(s) for s in sketches]
+    delta = parts[0][0]
+    for pt in parts[1:]:
+        if pt[0] != delta:
+            raise ValueError(f"cannot merge t-digests of different delta: "
+                             f"{delta} vs {pt[0]}")
+    means = np.concatenate([pt[4] for pt in parts])
+    weights = np.concatenate([pt[5] for pt in parts])
+    cm, cw = (_compress(means, weights, delta) if len(means)
+              else (means, weights))
+    return _serialize(
+        delta,
+        sum(pt[1] for pt in parts),
+        min((pt[2] for pt in parts), default=math.inf),
+        max((pt[3] for pt in parts), default=-math.inf),
+        cm,
+        cw,
+    )
+
+
+def merge(a: bytes, b: bytes) -> bytes:
+    return merge_many([a, b])
+
+
+def quantiles(sketch: bytes, qs) -> np.ndarray:
+    """Interpolated quantile estimates at normalized ranks ``qs``."""
+    delta, n, vmin, vmax, means, weights = _deserialize(sketch)
+    qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+    if np.any((qs < 0) | (qs > 1)):
+        raise ValueError("quantile ranks must be in [0, 1]")
+    if n == 0:
+        return np.full(len(qs), np.nan)
+    if len(means) == 1:
+        out = np.full(len(qs), means[0])
+        out[qs <= 0] = vmin
+        out[qs >= 1] = vmax
+        return out
+    total = weights.sum()
+    # centroid centers in cumulative-weight space
+    cum = np.cumsum(weights) - weights / 2.0
+    targets = qs * total
+    out = np.interp(targets, cum, means)
+    out[qs <= 0] = vmin
+    out[qs >= 1] = vmax
+    # clamp tails to observed extrema
+    return np.clip(out, vmin, vmax)
+
+
+def n_items(sketch: bytes) -> int:
+    return _deserialize(sketch)[1]
+
+
+def n_centroids(sketch: bytes) -> int:
+    return len(_deserialize(sketch)[4])
+
+
+def min_max(sketch: bytes) -> tuple[float, float]:
+    _, _, vmin, vmax, _, _ = _deserialize(sketch)
+    return vmin, vmax

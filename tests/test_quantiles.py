@@ -1,0 +1,136 @@
+"""Kernel + Spark tests for KLL and t-digest quantile sketches
+(SURVEY.md §2.4, §5.2 layer 8): rank-error bounds vs exact, determinism,
+order-independent merges, cross-check between the two backends."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_spark.quantiles import approx_quantiles, kll_agg
+from hyperloglog_spark.sketch import kll, tdigest
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _rank_of(sorted_vals: np.ndarray, v: float) -> float:
+    return np.searchsorted(sorted_vals, v, side="right") / len(sorted_vals)
+
+
+def _max_rank_err(module, sketch: bytes, values: np.ndarray) -> float:
+    sv = np.sort(values)
+    est = module.quantiles(sketch, QS)
+    return max(abs(_rank_of(sv, v) - q) for q, v in zip(QS, est))
+
+
+@pytest.mark.parametrize("module,tol", [(kll, 0.025), (tdigest, 0.02)])
+class TestQuantileKernels:
+    def test_rank_error_uniform(self, module, tol):
+        vals = np.random.default_rng(1).uniform(0, 1000, 100_000)
+        sk = module.from_values(vals)
+        assert _max_rank_err(module, sk, vals) <= tol
+
+    def test_rank_error_lognormal(self, module, tol):
+        vals = np.random.default_rng(2).lognormal(4.0, 0.8, 100_000)
+        sk = module.from_values(vals)
+        assert _max_rank_err(module, sk, vals) <= tol
+
+    def test_merge_preserves_accuracy(self, module, tol):
+        rng = np.random.default_rng(3)
+        chunks = [rng.normal(50, 10, 20_000) for _ in range(8)]
+        merged = module.merge_many([module.from_values(c) for c in chunks])
+        allv = np.concatenate(chunks)
+        assert _max_rank_err(module, merged, allv) <= 2 * tol
+        assert module.n_items(merged) == len(allv)
+
+    def test_shuffled_merge_byte_identical(self, module, tol):
+        parts = [module.from_values(
+            np.random.default_rng(10 + i).normal(0, 1, 5_000)) for i in range(6)]
+        base = module.merge_many(parts)
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            order = rng.permutation(6)
+            assert module.merge_many([parts[i] for i in order]) == base
+
+    def test_min_max_exact(self, module, tol):
+        vals = np.random.default_rng(4).uniform(-5, 5, 10_000)
+        sk = module.from_values(vals)
+        q = module.quantiles(sk, [0.0, 1.0])
+        assert q[0] == vals.min() and q[1] == vals.max()
+
+    def test_small_n_exact(self, module, tol):
+        vals = np.array([3.0, 1.0, 2.0])
+        sk = module.from_values(vals)
+        assert module.quantiles(sk, [0.5])[0] == pytest.approx(2.0, abs=1.0)
+        assert module.n_items(sk) == 3
+
+    def test_empty_and_nan(self, module, tol):
+        sk = module.from_values(np.array([np.nan, np.nan]))
+        assert module.n_items(sk) == 0
+        assert np.isnan(module.quantiles(sk, [0.5])[0])
+
+    def test_deterministic_rebuild(self, module, tol):
+        vals = np.random.default_rng(5).normal(0, 1, 30_000)
+        assert module.from_values(vals) == module.from_values(vals)
+
+    def test_incremental_update(self, module, tol):
+        rng = np.random.default_rng(6)
+        a, b = rng.uniform(0, 1, 10_000), rng.uniform(0, 1, 10_000)
+        sk = module.update(module.from_values(a), b)
+        assert module.n_items(sk) == 20_000
+        assert _max_rank_err(module, sk, np.concatenate([a, b])) <= 2 * tol
+
+
+class TestKllVsTdigestCross:
+    def test_backends_agree(self):
+        vals = np.random.default_rng(7).lognormal(4, 0.8, 50_000)
+        k_est = kll.quantiles(kll.from_values(vals), [0.5, 0.9])
+        t_est = tdigest.quantiles(tdigest.from_values(vals), [0.5, 0.9])
+        for a, b in zip(k_est, t_est):
+            assert abs(a - b) / b < 0.05
+
+
+class TestQuantileSpark:
+    @pytest.fixture(scope="class")
+    def lineitem(self, spark, sf01_dir):
+        return spark.read.parquet(f"{sf01_dir}/lineitem.parquet").cache()
+
+    @pytest.mark.parametrize("method", ["kll", "tdigest"])
+    def test_vs_exact_percentile(self, lineitem, method):
+        got = approx_quantiles(
+            lineitem, "l_extendedprice", [0.5, 0.9, 0.99], method=method
+        ).collect()[0]
+        exact = lineitem.select(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+        ).collect()[0][0]
+        vals = np.sort(
+            np.array([r[0] for r in lineitem.select("l_extendedprice").collect()])
+        )
+        for est, q in zip([got["q5"], got["q9"], got["q99"]], [0.5, 0.9, 0.99]):
+            assert abs(_rank_of(vals, est) - q) <= 0.03, (method, q, est, exact)
+
+    def test_grouped_quantiles(self, lineitem):
+        out = approx_quantiles(
+            lineitem, "l_quantity", [0.5], group_by="l_returnflag"
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert 20 <= r["q5"] <= 30  # quantity is uniform 1..50
+
+    def test_sketch_column_mergeable(self, lineitem):
+        per_flag = kll_agg(lineitem, "l_extendedprice", group_by="l_returnflag")
+        merged = kll.merge_many([r["sketch"] for r in per_flag.collect()])
+        assert kll.n_items(merged) == lineitem.count()
+
+    def test_deterministic_across_partitioning(self, lineitem):
+        """Same rows, different partitioning: estimates stay within the
+        sketch's rank-error bound of each other (exact byte equality is not
+        expected — partial sketches differ — but answers must be stable)."""
+        a = approx_quantiles(lineitem.repartition(2), "l_extendedprice", [0.5]
+                             ).collect()[0]["q5"]
+        b = approx_quantiles(lineitem.repartition(16), "l_extendedprice", [0.5]
+                             ).collect()[0]["q5"]
+        vals = np.sort(np.array(
+            [r[0] for r in lineitem.select("l_extendedprice").collect()]))
+        assert abs(_rank_of(vals, a) - _rank_of(vals, b)) <= 0.03
