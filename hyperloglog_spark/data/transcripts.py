@@ -1,0 +1,132 @@
+"""Deterministic synthetic multi-turn conversation transcripts.
+
+Schema per BASELINE.json input_hint:
+    conv_id string | turn_idx int | role string | text string |
+    tool string (nullable) | ts timestamp
+
+Generation rules per FIXTURES.md §1 — pure function of (seed, n_turns,
+n_convs): Zipf(1.2) conv skew (hot conversations own a large share of turns),
+role cycle with weights, lognormal text lengths with ~2% exact duplicates,
+Zipf tool heavy hitters, exp(8s) per-turn latency. Fully vectorized numpy;
+writes multi-file parquet so Spark gets real parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "tool", "system"])
+ROLE_W = np.array([0.35, 0.40, 0.20, 0.05])
+TOOLS = np.array([
+    "search", "bash", "read_file", "write_file", "edit", "browser",
+    "python", "sql", "fetch_url", "calculator", "grep", "schedule",
+])
+_WORDS = np.array([
+    f"w{i:03d}" for i in range(512)
+])
+
+EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def generate(
+    n_turns: int,
+    n_convs: int,
+    seed: int = 42,
+) -> pa.Table:
+    rng = np.random.default_rng(seed)
+
+    # conv per turn ~ Zipf(1.2) over n_convs
+    ranks = np.arange(1, n_convs + 1, dtype=np.float64)
+    w = ranks ** -1.2
+    w /= w.sum()
+    conv_of_turn = rng.choice(n_convs, size=n_turns, p=w)
+
+    # order turns by conversation; turn_idx = cumcount within conv
+    order = np.argsort(conv_of_turn, kind="stable")
+    conv_sorted = conv_of_turn[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(conv_sorted)) + 1))
+    turn_idx = np.arange(n_turns, dtype=np.int64)
+    turn_idx -= np.repeat(turn_idx[starts], np.diff(np.append(starts, n_turns)))
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv_sorted.astype("U8"), 8))
+
+    role = rng.choice(ROLES, size=n_turns, p=ROLE_W)
+
+    # text: token sampling, lognormal char-length target, ~2% duplicates
+    target_chars = rng.lognormal(4.0, 0.8, size=n_turns)
+    n_words = np.maximum((target_chars / 5).astype(np.int64), 1)
+    total_words = int(n_words.sum())
+    word_ids = rng.integers(0, len(_WORDS), size=total_words)
+    bounds = np.concatenate(([0], np.cumsum(n_words))).astype(np.int32)
+    flat = pa.array(_WORDS[word_ids].tolist(), pa.string())
+    word_lists = pa.ListArray.from_arrays(pa.array(bounds), flat)
+    import pyarrow.compute as pc
+
+    text = pc.binary_join(word_lists, " ").to_numpy(zero_copy_only=False)
+    dup_mask = rng.random(n_turns) < 0.02
+    dup_pool = rng.integers(0, n_turns, size=int(dup_mask.sum()))
+    text[np.flatnonzero(dup_mask)] = text[dup_pool]
+
+    # tool: only for tool-role turns, Zipf-weighted heavy hitters
+    tw = np.arange(1, len(TOOLS) + 1, dtype=np.float64) ** -1.5
+    tw /= tw.sum()
+    tool = np.full(n_turns, None, dtype=object)
+    tool_rows = np.flatnonzero(role == "tool")
+    tool[tool_rows] = rng.choice(TOOLS, size=len(tool_rows), p=tw)
+
+    # ts: per-conv uniform start over 30 days + cumulative exp(8s) latency
+    conv_start_us = rng.integers(0, 30 * 86400, size=n_convs) * 1_000_000
+    lat_us = (rng.exponential(8.0, size=n_turns) * 1e6).astype(np.int64) + 1
+    cum = np.cumsum(lat_us)
+    seg_base = cum[starts] - lat_us[starts]
+    ts_us = (
+        conv_start_us[conv_sorted]
+        + cum
+        - np.repeat(seg_base, np.diff(np.append(starts, n_turns)))
+    )
+    ts = EPOCH_2024 + ts_us.astype("timedelta64[us]")
+
+    return pa.table({
+        "conv_id": pa.array(conv_id.tolist(), pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role.tolist(), pa.string()),
+        "text": pa.array(text.tolist(), pa.string()),
+        "tool": pa.array(tool.tolist(), pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def write(
+    path: str,
+    n_turns: int,
+    n_convs: int,
+    seed: int = 42,
+    n_files: int = 8,
+) -> str:
+    """Write a multi-file parquet directory; returns the path.
+
+    Rows are row-shuffled before splitting so conversations span files —
+    the realistic (and adversarial for ordering invariants) layout.
+    """
+    os.makedirs(path, exist_ok=True)
+    tbl = generate(n_turns, n_convs, seed)
+    rng = np.random.default_rng(seed + 1)
+    perm = rng.permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm))
+    chunk = -(-tbl.num_rows // n_files)
+    for i in range(n_files):
+        part = tbl.slice(i * chunk, chunk)
+        if part.num_rows:
+            pq.write_table(part, f"{path}/part-{i:04d}.parquet")
+    return path
+
+
+SCALES = {
+    "t1": dict(n_turns=10_000, n_convs=1_000),
+    "t2": dict(n_turns=200_000, n_convs=20_000),
+    "bench": dict(n_turns=2_000_000, n_convs=150_000),
+}

@@ -1,0 +1,130 @@
+"""Flagship queries over the transcripts table (BASELINE.json north_star).
+
+The transcripts table has columns
+    conv_id string, turn_idx int, role string, text string,
+    tool string (nullable), ts timestamp
+and arrives as Parquet (or Iceberg when a catalog is configured — see
+engine/io.py). Every query here is a thin composition of Spark built-ins
+with the sketch aggregators; nothing re-implements what Catalyst already
+does (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .frequency import cms_topk
+from .functions import approx_distinct
+from .membership import bloom_build, with_might_contain
+from .quantiles import approx_quantiles
+
+__all__ = [
+    "load",
+    "distinct_conversations",
+    "distinct_texts_by_role_tool",
+    "distinct_conv_tool_pairs",
+    "heavy_hitter_tools",
+    "turn_length_quantiles",
+    "latency_quantiles",
+    "conversation_membership",
+    "ordering_invariant_violations",
+    "with_salted_key",
+]
+
+
+def load(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def distinct_conversations(df: DataFrame, p: int = 14) -> DataFrame:
+    """Approximate number of distinct conversations."""
+    return approx_distinct(df, "conv_id", p=p, alias="approx_convs")
+
+
+def distinct_texts_by_role_tool(df: DataFrame, p: int = 14) -> DataFrame:
+    """Approximate distinct turn texts per (role, tool)."""
+    return approx_distinct(
+        df, "text", group_by=["role", "tool"], p=p, alias="approx_texts"
+    )
+
+
+def distinct_conv_tool_pairs(df: DataFrame, p: int = 14) -> DataFrame:
+    """Approximate distinct (conv_id, tool) pairs — composite-key distinct."""
+    return approx_distinct(
+        df, ["conv_id", "tool"], p=p, alias="approx_pairs"
+    )
+
+
+def heavy_hitter_tools(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k tools by turn count via count-min + candidate merge."""
+    return cms_topk(df, "tool", k=k)
+
+
+def turn_length_quantiles(
+    df: DataFrame, qs=(0.5, 0.9, 0.99), method: str = "kll"
+) -> DataFrame:
+    """Quantiles of text length in characters (heavy right tail)."""
+    with_len = df.select(F.length("text").alias("turn_chars"))
+    return approx_quantiles(with_len, "turn_chars", list(qs), method=method)
+
+
+def latency_quantiles(
+    df: DataFrame, qs=(0.5, 0.9, 0.99), method: str = "tdigest"
+) -> DataFrame:
+    """Quantiles of per-turn latency (ts - previous ts within the
+    conversation, seconds). The window shuffles by conv_id once; the sketch
+    aggregation afterwards shuffles only sketch rows."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (
+        df.select("conv_id", "turn_idx", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+            ).alias("latency_s")  # NTZ -> TS -> epoch seconds (session TZ=UTC)
+        )
+    )
+    return approx_quantiles(lat, "latency_s", list(qs), method=method)
+
+
+def conversation_membership(
+    df: DataFrame, probe: DataFrame, probe_col: str,
+    expected_items: int = 1 << 20, fpp: float = 0.001,
+) -> DataFrame:
+    """Bloom 'have we seen this conv_id?' probe (no false negatives)."""
+    flt = bloom_build(df, "conv_id", expected_items=expected_items, fpp=fpp)
+    return with_might_contain(probe, probe_col, flt, alias="seen")
+
+
+def ordering_invariant_violations(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Per-row invariant (BASELINE.json input_hint): per-turn text equality
+    vs the source under stable (conv_id, turn_idx) ordering. Returns rows
+    that disagree — must be empty after any transform we apply.
+
+    Equi-join on the composite key; Catalyst picks sort-merge with both
+    sides shuffled once on the same key (no extra exchange)."""
+    a = df.select("conv_id", "turn_idx", F.col("text").alias("text_a"))
+    b = source.select("conv_id", "turn_idx", F.col("text").alias("text_b"))
+    joined = a.join(b, ["conv_id", "turn_idx"], "full_outer")
+    return joined.filter(~F.col("text_a").eqNullSafe(F.col("text_b")))
+
+
+def with_salted_key(
+    df: DataFrame, col: str, buckets: int = 32, salted_name: str | None = None
+) -> DataFrame:
+    """Salt a hot key for exact (non-sketch) aggregations: aggregate on the
+    salted key first, then re-aggregate on the original key. Sketch
+    aggregations do NOT need this — their phase-1 map-side combine already
+    bounds per-key shuffle rows at #partitions — but exact counts/collects
+    over skewed conv_ids do. Salting is deterministic (hash of turn_idx),
+    not random, so re-runs are reproducible."""
+    salted_name = salted_name or f"{col}__salted"
+    return df.withColumn(
+        salted_name,
+        F.concat_ws(
+            "#", F.col(col), (F.pmod(F.xxhash64("turn_idx"), F.lit(buckets))).cast("string")
+        ),
+    )

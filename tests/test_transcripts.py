@@ -1,0 +1,152 @@
+"""Transcripts generator + flagship-query tests (SURVEY.md §5.2 layers 4-5):
+the north_star query set against exact answers on a 50k-turn table, plus the
+per-row text-equality invariant and skew behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_spark import transcripts as tq
+from hyperloglog_spark.data import transcripts as tgen
+from hyperloglog_spark.sketch import hll
+
+
+@pytest.fixture(scope="module")
+def tpath(tmp_path_factory):
+    path = tmp_path_factory.mktemp("transcripts") / "t2"
+    return tgen.write(str(path), n_turns=50_000, n_convs=5_000, seed=42)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, tpath):
+    return tq.load(spark, tpath).cache()
+
+
+class TestGenerator:
+    def test_deterministic(self):
+        a = tgen.generate(5_000, 500, seed=7)
+        b = tgen.generate(5_000, 500, seed=7)
+        assert a.equals(b)
+
+    def test_schema_and_invariants(self, tdf):
+        assert [f.name for f in tdf.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        n = tdf.count()
+        assert n == 50_000
+        # dense unique turn_idx per conv
+        bad = (
+            tdf.groupBy("conv_id")
+            .agg(F.min("turn_idx").alias("mn"), F.max("turn_idx").alias("mx"),
+                 F.count("*").alias("c"),
+                 F.countDistinct("turn_idx").alias("d"))
+            .filter((F.col("mn") != 0) | (F.col("mx") != F.col("c") - 1)
+                    | (F.col("c") != F.col("d")))
+        )
+        assert bad.count() == 0
+
+    def test_skew_present(self, tdf):
+        top = (tdf.groupBy("conv_id").count()
+               .orderBy(F.desc("count")).first()["count"])
+        assert top > 50_000 * 0.05  # hottest conversation owns > 5% of turns
+
+    def test_tool_only_on_tool_role(self, tdf):
+        assert tdf.filter(
+            (F.col("role") != "tool") & F.col("tool").isNotNull()).count() == 0
+        assert tdf.filter(
+            (F.col("role") == "tool") & F.col("tool").isNull()).count() == 0
+
+
+class TestFlagshipQueries:
+    def test_distinct_conversations(self, tdf):
+        est = tq.distinct_conversations(tdf).collect()[0]["approx_convs"]
+        exact = tdf.select(F.countDistinct("conv_id")).collect()[0][0]
+        assert abs(est - exact) <= 3 * hll.error_bound(14) * exact + 2
+
+    def test_distinct_texts_by_role_tool(self, tdf):
+        got = {
+            (r["role"], r["tool"]): r["approx_texts"]
+            for r in tq.distinct_texts_by_role_tool(tdf).collect()
+        }
+        exact = {
+            (r["role"], r["tool"]): r["n"]
+            for r in tdf.groupBy("role", "tool")
+            .agg(F.countDistinct("text").alias("n")).collect()
+        }
+        assert got.keys() == exact.keys()
+        for key in exact:
+            assert abs(got[key] - exact[key]) <= (
+                3 * hll.error_bound(14) * exact[key] + 2), key
+
+    def test_distinct_conv_tool_pairs(self, tdf):
+        est = tq.distinct_conv_tool_pairs(tdf).collect()[0]["approx_pairs"]
+        exact = tdf.select(F.countDistinct("conv_id", "tool")).collect()[0][0]
+        assert abs(est - exact) <= 3 * hll.error_bound(14) * exact + 2
+
+    def test_heavy_hitter_tools(self, tdf):
+        got = [(r[0], r[1]) for r in tq.heavy_hitter_tools(tdf, k=5).collect()]
+        exact = [
+            (r[0], r[1])
+            for r in tdf.filter(F.col("tool").isNotNull())
+            .groupBy("tool").count()
+            .orderBy(F.desc("count"), F.asc("tool")).limit(5).collect()
+        ]
+        assert got == exact
+
+    def test_turn_length_quantiles(self, tdf):
+        got = tq.turn_length_quantiles(tdf).collect()[0]
+        lens = np.sort(np.array(
+            [r[0] for r in tdf.select(F.length("text")).collect()]))
+        for q, est in zip([0.5, 0.9, 0.99], [got["q5"], got["q9"], got["q99"]]):
+            rank = np.searchsorted(lens, est, side="right") / len(lens)
+            assert abs(rank - q) <= 0.03, (q, est, rank)
+
+    def test_latency_quantiles(self, tdf):
+        got = tq.latency_quantiles(tdf).collect()[0]
+        # exp(mean=8s): median ~ 8*ln2 = 5.54s
+        assert 4.5 <= got["q5"] <= 6.5
+        assert got["q9"] < got["q99"]
+
+    def test_conversation_membership(self, tdf, spark):
+        probe = tdf.select(F.col("conv_id").alias("key")).distinct()
+        out = tq.conversation_membership(tdf, probe, "key")
+        assert out.filter(~F.col("seen")).count() == 0
+
+    def test_ordering_invariant(self, tdf, spark, tpath):
+        source = tq.load(spark, tpath)
+        transformed = tdf.repartition(16, "conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx")
+        assert tq.ordering_invariant_violations(transformed, source).count() == 0
+        # and it actually detects corruption
+        corrupted = tdf.withColumn(
+            "text",
+            F.when((F.col("turn_idx") == 0) & (F.col("conv_id") == "conv-00000000"),
+                   F.lit("CORRUPTED")).otherwise(F.col("text")),
+        )
+        assert tq.ordering_invariant_violations(corrupted, source).count() == 1
+
+    def test_salting_preserves_exact_counts(self, tdf):
+        salted = tq.with_salted_key(tdf, "conv_id", buckets=8)
+        two_stage = (
+            salted.groupBy("conv_id__salted")
+            .agg(F.count("*").alias("c"),
+                 F.first(F.split("conv_id__salted", "#")[0]).alias("conv_id"))
+            .groupBy("conv_id").agg(F.sum("c").alias("n"))
+        )
+        direct = tdf.groupBy("conv_id").agg(F.count("*").alias("n"))
+        diff = two_stage.join(direct, "conv_id") \
+            .filter(two_stage["n"] != direct["n"]).count()
+        assert diff == 0
+
+    def test_sketch_insensitive_to_salting(self, tdf):
+        """Sketch merges make salting lossless: distinct-text estimate is
+        identical whether or not rows were salted/repartitioned."""
+        from hyperloglog_spark import hll_merged_sketch
+
+        a = hll_merged_sketch(tdf, "text")
+        b = hll_merged_sketch(
+            tq.with_salted_key(tdf, "conv_id").repartition(16, "conv_id__salted"),
+            "text",
+        )
+        assert a == b
