@@ -1,0 +1,121 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline sketch queries on ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) plus the flagship transcripts workload (the
+BASELINE.json north-star table, generated deterministically at a scale
+matched to the sf — cached under ``.bench_cache/``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ..., "n_turns": ...}
+
+``turns_per_sec`` is the BASELINE.md headline: transcripts rows/sec through
+the full two-phase HLL sketch build (scan -> Arrow -> numpy registers ->
+shuffle of sketch rows -> merge -> estimate).
+
+Scaling-efficiency evidence (same job at two parallelism levels) lives in
+``scripts/bench_scaling.py`` -> ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# transcripts scale per sf: sf0.1 -> 2M turns / 50k convs (Zipf-skewed)
+TURNS_PER_SF = 20_000_000
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_path(sf: float) -> str:
+    from hyperloglog_spark.data import transcripts as gen
+
+    n_turns = max(int(TURNS_PER_SF * sf), 10_000)
+    n_convs = max(n_turns // 40, 100)
+    path = os.path.join(CACHE, f"transcripts_{n_turns}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        gen.write(path, n_turns=n_turns, n_convs=n_convs, seed=42, n_files=32)
+        with open(done, "w") as f:
+            f.write(str(n_turns))
+    return path
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    tpath = transcripts_path(sf)
+
+    from hyperloglog_spark import transcripts as tq
+    from hyperloglog_spark import approx_distinct, approx_quantiles, cms_topk
+    from hyperloglog_spark.engine.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    def t(spark, name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    trans = tq.load(spark, tpath)
+    n_turns = trans.count()  # warms the JVM + file listing
+    # spin up the full Python worker pool (reused across queries, as on a
+    # real cluster) so timings measure steady-state, not fork+import cost —
+    # must be a full-width pass: limit(n) would start only one worker
+    tq.distinct_conversations(trans).collect()
+
+    queries = {
+        "hll_distinct_convs": lambda: tq.distinct_conversations(trans),
+        "hll_texts_by_role_tool": lambda: tq.distinct_texts_by_role_tool(trans),
+        "hll_conv_tool_pairs": lambda: tq.distinct_conv_tool_pairs(trans),
+        "cms_heavy_hitter_tools": lambda: tq.heavy_hitter_tools(trans),
+        "kll_turn_length_q": lambda: tq.turn_length_quantiles(trans),
+        "tdigest_latency_q": lambda: tq.latency_quantiles(trans),
+        "hll_event_users": lambda: approx_distinct(
+            t(spark, "events"), "user_id", alias="n_users"),
+        "cms_top5_partkeys": lambda: cms_topk(
+            t(spark, "lineitem"), "l_partkey", k=5),
+        "kll_price_quantiles": lambda: approx_quantiles(
+            t(spark, "lineitem"), "l_extendedprice", [0.5, 0.9, 0.99]),
+    }
+
+    timings: dict[str, float] = {}
+    for name, make in queries.items():
+        t0 = time.perf_counter()
+        rows = make().collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows, f"{name} returned no rows"
+
+    total = round(sum(timings.values()), 3)
+    # headline throughput: full two-phase HLL build over the transcripts
+    # table (re-run on the timed query, not the warm-up count)
+    turns_per_sec = int(n_turns / timings["hll_distinct_convs"])
+
+    print(json.dumps({
+        "metric": "sketch_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": int(n_turns),
+        "turns_per_sec": turns_per_sec,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
