@@ -62,14 +62,16 @@ def generate(
     total_words = int(n_words.sum())
     word_ids = rng.integers(0, len(_WORDS), size=total_words)
     bounds = np.concatenate(([0], np.cumsum(n_words))).astype(np.int32)
-    flat = pa.array(_WORDS[word_ids].tolist(), pa.string())
+    flat = pa.array(_WORDS).take(pa.array(word_ids))  # gather, no py objects
     word_lists = pa.ListArray.from_arrays(pa.array(bounds), flat)
     import pyarrow.compute as pc
 
-    text = pc.binary_join(word_lists, " ").to_numpy(zero_copy_only=False)
+    text = pc.binary_join(word_lists, " ")
     dup_mask = rng.random(n_turns) < 0.02
     dup_pool = rng.integers(0, n_turns, size=int(dup_mask.sum()))
-    text[np.flatnonzero(dup_mask)] = text[dup_pool]
+    take_idx = np.arange(n_turns, dtype=np.int64)
+    take_idx[np.flatnonzero(dup_mask)] = dup_pool
+    text = text.take(pa.array(take_idx))
 
     # tool: only for tool-role turns, Zipf-weighted heavy hitters
     tw = np.arange(1, len(TOOLS) + 1, dtype=np.float64) ** -1.5
@@ -91,11 +93,11 @@ def generate(
     ts = EPOCH_2024 + ts_us.astype("timedelta64[us]")
 
     return pa.table({
-        "conv_id": pa.array(conv_id.tolist(), pa.string()),
+        "conv_id": pa.array(conv_id),
         "turn_idx": pa.array(turn_idx, pa.int32()),
-        "role": pa.array(role.tolist(), pa.string()),
-        "text": pa.array(text.tolist(), pa.string()),
-        "tool": pa.array(tool.tolist(), pa.string()),
+        "role": pa.array(role),
+        "text": text,
+        "tool": pa.array(tool),
         "ts": pa.array(ts, pa.timestamp("us")),
     })
 

@@ -85,8 +85,12 @@ def sketch_partials(
     value_cols: list[str],
     agg: SketchAggregator,
     group_cols: list[str] | None = None,
+    with_rows: bool = False,
 ) -> DataFrame:
-    """Phase 1: one sketch row per (partition, group)."""
+    """Phase 1: one sketch row per (partition, group).
+
+    with_rows=True adds a ``rows`` LongType column counting the input rows
+    each partial consumed (lineage/metrics come free from the same scan)."""
     group_cols = list(group_cols or [])
     prepared = agg.prepare_columns(df, value_cols)
     value_names = [f"__v{i}" for i in range(len(prepared))]
@@ -98,6 +102,8 @@ def sketch_partials(
     out_fields = [_group_field(df, c) for c in group_cols] + [
         T.StructField(SKETCH_COL, T.BinaryType(), False)
     ]
+    if with_rows:
+        out_fields.append(T.StructField("rows", T.LongType(), False))
     out_schema = T.StructType(out_fields)
     out_arrow = pa.schema(
         [pa.field(f.name, _to_arrow(f.dataType)) for f in out_fields]
@@ -109,6 +115,7 @@ def sketch_partials(
 
     def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict[tuple, bytes] = {}
+        nrows: dict[tuple, int] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -134,9 +141,11 @@ def sketch_partials(
                     uniques = list(uniq)
                 codes = codes_arr.astype(np.int64)
             sketches = build_grouped(codes, values, len(uniques))
-            for key, sk in zip(uniques, sketches):
+            counts = np.bincount(codes, minlength=len(uniques))
+            for gi, (key, sk) in enumerate(zip(uniques, sketches)):
                 prev = acc.get(key)
                 acc[key] = sk if prev is None else merge_many([prev, sk])
+                nrows[key] = nrows.get(key, 0) + int(counts[gi])
         if not acc:
             return
         keys = list(acc.keys())
@@ -147,6 +156,8 @@ def sketch_partials(
         arrays.append(
             pa.array([acc[k] for k in keys], type=pa.binary())
         )
+        if with_rows:
+            arrays.append(pa.array([nrows[k] for k in keys], type=pa.int64()))
         yield pa.RecordBatch.from_arrays(arrays, schema=out_arrow)
 
     return proj.mapInArrow(build_partition, out_schema)
