@@ -130,6 +130,111 @@ def q_tdigest_event_value_quantiles(spark, sf_dir):
     )
 
 
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: one representative doc_id per distinct text (grouped on
+    a 192-bit fingerprint, not the payload)."""
+    from hyperloglog_spark.pipeline import exact_dedup
+
+    return exact_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_neardup_minhash_pairs(spark, sf_dir):
+    """MinHash->LSH->exact-verify near-duplicate pairs (J >= 0.5 on word
+    3-gram shingles). (b=64, r=2) gives miss prob ~1e-8 at J=0.5; every
+    emitted pair is exactly verified, so this matches exhaustive SQL."""
+    from hyperloglog_spark.pipeline import near_dup_pairs
+
+    return near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold_permille=500,
+    )
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash Hamming<=3 pairs via exact pigeonhole blocking (rows-only:
+    brute-force parity asserted in tests/test_pipeline.py)."""
+    from hyperloglog_spark.pipeline import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors vec_id<10."""
+    from hyperloglog_spark.pipeline import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (rows-only: recall asserted in tests)."""
+    from hyperloglog_spark.pipeline import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    from hyperloglog_spark.pipeline import token_stats
+
+    return token_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_text_lang_id(spark, sf_dir):
+    from hyperloglog_spark.pipeline import lang_id
+
+    return (
+        lang_id(_t(spark, sf_dir, "documents"), "text")
+        .groupBy("lang_pred").agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Integer-permille quality components (rows-only; formula asserted
+    deterministic + bounded in tests)."""
+    from hyperloglog_spark.pipeline import quality_score
+
+    return quality_score(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Bottom-k shingle fingerprints (rows-only: xxhash64 has no DuckDB
+    equivalent; determinism asserted in tests)."""
+    from hyperloglog_spark.pipeline import doc_fingerprints
+
+    return doc_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction (deterministic fake decoder; the
+    codec step is a documented stub, the Spark plumbing is real)."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        extract_features, synthesize_assets,
+    )
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return (
+        extract_features(assets)
+        .select("asset_id", "kind", "n_bytes")
+        .orderBy("asset_id")
+    )
+
+
 def q_orders_per_priority(spark, sf_dir):
     """Exact composition query (engine + oracle plumbing sanity)."""
     return (
@@ -157,6 +262,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_price_quantiles": q_kll_price_quantiles,
     "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
     "orders_per_priority": q_orders_per_priority,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "neardup_minhash_pairs": q_neardup_minhash_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "text_token_stats": q_text_token_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "doc_fingerprints": q_doc_fingerprints,
+    "multimodal_features": q_multimodal_features,
 }
 
 _ORACLES: dict[str, str] = {
@@ -184,6 +299,72 @@ _ORACLES: dict[str, str] = {
         "SELECT o_orderpriority, count(*) AS n_orders, "
         "count(DISTINCT o_custkey) AS n_custs FROM orders "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "dedup_exact_documents":
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+        "GROUP BY text ORDER BY doc_id",
+    "neardup_minhash_pairs": """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+              ELSE list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  for i in range(1, len(string_split(text, ' ')) - 1)])
+         END AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT)
+         AS jaccard_permille
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 500
+ORDER BY id_a, id_b
+""",
+    "embedding_topk_bruteforce": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(q.u) + 1),
+              i -> q.u[i] * c.u[i]))) AS BIGINT) AS score_permille
+  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, score_permille
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""",
+    "text_token_stats": """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_types,
+       CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000.0
+            / len(string_split(text, ' '))) AS BIGINT) AS ttr_permille
+FROM documents ORDER BY doc_id
+""",
+    "text_lang_id": r"""
+SELECT CASE
+  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]') THEN 'zh'
+  WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+  WHEN regexp_matches(text, '[äöüßÄÖÜ]') THEN 'de'
+  WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+  WHEN regexp_matches(text, '[èêëçàâîôûœ]') THEN 'fr'
+  WHEN len(list_intersect(string_split(lower(text), ' '),
+       ['the','a','an','and','of','to','in','is','it','that','for'])) > 0 THEN 'en'
+  ELSE 'unknown' END AS lang_pred, count(*) AS n_docs
+FROM documents GROUP BY lang_pred ORDER BY lang_pred
+""",
+    "multimodal_features":
+        "SELECT doc_id AS asset_id, "
+        "(['image','audio','video'])[doc_id % 3 + 1] AS kind, "
+        "octet_length(encode(text)) AS n_bytes "
+        "FROM documents ORDER BY asset_id",
 }
 
 

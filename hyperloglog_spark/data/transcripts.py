@@ -36,6 +36,7 @@ def generate(
     n_turns: int,
     n_convs: int,
     seed: int = 42,
+    conv_offset: int = 0,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
 
@@ -52,7 +53,9 @@ def generate(
     turn_idx = np.arange(n_turns, dtype=np.int64)
     turn_idx -= np.repeat(turn_idx[starts], np.diff(np.append(starts, n_turns)))
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_sorted.astype("U8"), 8))
+    conv_id = np.char.add(
+        "conv-", np.char.zfill((conv_sorted + conv_offset).astype("U8"), 8)
+    )
 
     role = rng.choice(ROLES, size=n_turns, p=ROLE_W)
 
@@ -115,15 +118,26 @@ def write(
     the realistic (and adversarial for ordering invariants) layout.
     """
     os.makedirs(path, exist_ok=True)
-    tbl = generate(n_turns, n_convs, seed)
-    rng = np.random.default_rng(seed + 1)
-    perm = rng.permutation(tbl.num_rows)
-    tbl = tbl.take(pa.array(perm))
-    chunk = -(-tbl.num_rows // n_files)
-    for i in range(n_files):
-        part = tbl.slice(i * chunk, chunk)
-        if part.num_rows:
-            pq.write_table(part, f"{path}/part-{i:04d}.parquet")
+    # generate in <=4M-turn chunks with disjoint conv-id namespaces: one
+    # shot at 64M turns overflows Arrow's int32 string offsets
+    CHUNK = 4_000_000
+    n_chunks = -(-n_turns // CHUNK)
+    file_i = 0
+    files_per_chunk = -(-n_files // n_chunks)
+    for ci in range(n_chunks):
+        turns_c = min(CHUNK, n_turns - ci * CHUNK)
+        convs_c = max(1, round(n_convs * turns_c / n_turns))
+        tbl = generate(turns_c, convs_c, seed + ci * 7919,
+                       conv_offset=ci * convs_c)
+        rng = np.random.default_rng(seed + 1 + ci)
+        tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+        k = min(files_per_chunk, n_files - (n_chunks - 1 - ci)) or 1
+        sz = -(-tbl.num_rows // k)
+        for j in range(k):
+            part = tbl.slice(j * sz, sz)
+            if part.num_rows:
+                pq.write_table(part, f"{path}/part-{file_i:04d}.parquet")
+                file_i += 1
     return path
 
 

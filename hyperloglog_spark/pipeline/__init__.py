@@ -1,0 +1,37 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force + LSH-bucketed cosine top-k), text analysis (language
+ID, quality scoring, token stats, fingerprinting), and multimodal column
+plumbing. All Spark-first: string/shingle hashing runs JVM-side inside
+whole-stage codegen; only fixed-width hash arrays cross the Arrow boundary;
+Python touches batches, never rows.
+"""
+
+from .dedup import (
+    exact_dedup,
+    jaccard_verified_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from .similarity import brute_force_topk, lsh_topk
+from .text import doc_fingerprints, lang_id, quality_score, token_stats
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "jaccard_verified_pairs",
+    "near_dup_pairs",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "brute_force_topk",
+    "lsh_topk",
+    "doc_fingerprints",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+]

@@ -1,0 +1,256 @@
+"""Training-data pipeline operators vs exact oracles (duckdb / numpy)."""
+
+import itertools
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_spark.pipeline import (
+    brute_force_topk,
+    doc_fingerprints,
+    exact_dedup,
+    lang_id,
+    lsh_topk,
+    near_dup_pairs,
+    quality_score,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+    token_stats,
+)
+from hyperloglog_spark.pipeline.multimodal import (
+    extract_features,
+    fake_decode_features,
+    sample_frames,
+    synthesize_assets,
+)
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_matches_groupby(docs):
+    got = {
+        (r["doc_id"], r["n_copies"])
+        for r in exact_dedup(docs, "text", "doc_id").collect()
+    }
+    want = {
+        tuple(r) for r in duckdb.sql(
+            f"SELECT min(doc_id), count(*) FROM '{DOCS}' GROUP BY text"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def _shingle_sets(n=3):
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    out = {}
+    for i, t in rows:
+        w = t.split(" ")
+        if len(w) < n:
+            out[i] = {t}
+        else:
+            out[i] = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+    return out
+
+def _exact_pairs(threshold_permille=500):
+    sh = _shingle_sets()
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        union = len(sh[a] | sh[b])
+        pm = int(np.floor(inter * 1000.0 / union))
+        if pm >= threshold_permille:
+            want[(a, b)] = pm
+    return want
+
+
+def test_minhash_lsh_neardup_exhaustive_parity(docs):
+    """LSH-found, exactly-verified pairs == exhaustive all-pairs Jaccard."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_permille"]
+        for r in near_dup_pairs(
+            docs, "text", "doc_id", threshold_permille=500
+        ).collect()
+    }
+    assert got == _exact_pairs(500)
+    assert len(got) > 0  # non-vacuous: sf0.01 plants 25 near-dup pairs
+
+
+def test_neardup_partitioning_invariance(docs):
+    a = near_dup_pairs(docs, "text", "doc_id").collect()
+    b = near_dup_pairs(docs.repartition(7), "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_pairs_match_bruteforce_hamming(docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    want = set()
+    ids = sorted(sigs)
+    arr = np.array([sigs[i] for i in ids], dtype=np.int64).view(np.uint64)
+    for i, a in enumerate(ids):
+        ham = np.bitwise_xor(arr[i], arr[i + 1:])
+        cnt = np.array([bin(int(x)).count("1") for x in ham])
+        for j in np.flatnonzero(cnt <= 3):
+            want.add((a, ids[i + 1 + j], int(cnt[j])))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    rows = duckdb.sql(f"SELECT vec_id, embedding FROM '{EMB}'").fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    q_mask = ids < 20
+    got = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5
+    ).collect()
+    assert len(got) == int(q_mask.sum()) * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score_permille"])
+        )
+    for qi in np.flatnonzero(q_mask):
+        qid = int(ids[qi])
+        scores = S[qi].copy()
+        scores[qi] = -np.inf  # exclude self
+        pm = np.floor(scores * 1000.0)
+        order = sorted(
+            range(len(ids)), key=lambda j: (-pm[j], ids[j])
+        )[:5]
+        want = [(rk + 1, int(ids[j]), int(pm[j]))
+                for rk, j in enumerate(order)]
+        assert sorted(by_q[qid]) == want, qid
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """Planted clusters -> LSH multiprobe recall@1 is high."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((20, 32)) * 3
+    vecs, ids = [], []
+    for i in range(400):
+        c = centers[i % 20]
+        vecs.append(c + rng.standard_normal(32) * 0.1)
+        ids.append(i)
+    pdf = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df, q, "vec_id", "embedding", k=1).collect()}
+    ls = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in lsh_topk(df, q, "vec_id", "embedding", k=1,
+                            nbits=10).collect()}
+    hits = sum(bf[k] == ls.get(k) for k in bf)
+    assert hits / len(bf) >= 0.9
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_token_stats_vs_duckdb(docs):
+    got = {r["doc_id"]: (r["n_chars"], r["n_tokens"], r["n_types"],
+                         r["ttr_permille"])
+           for r in token_stats(docs, "text", "doc_id").collect()}
+    want = {r[0]: tuple(r[1:]) for r in duckdb.sql(f"""
+        SELECT doc_id, length(text),
+               len(string_split(text, ' ')),
+               len(list_distinct(string_split(text, ' '))),
+               CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000.0
+                    / len(string_split(text, ' '))) AS BIGINT)
+        FROM '{DOCS}'""").fetchall()}
+    assert got == want
+
+
+def test_quality_score_bounds_and_determinism(docs):
+    rows = quality_score(docs, "text", "doc_id").collect()
+    assert len(rows) == 500
+    assert all(0 <= r["score"] <= 1000 for r in rows)
+    again = quality_score(docs.repartition(9), "text", "doc_id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_lang_id_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "这是 中文 文本"),
+         (3, "straße äpfel über"), (4, "mañana ¿qué?"),
+         (5, "être à côté"), (6, "xyzzy plugh")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df, "text").collect()}
+    assert got == {1: "en", 2: "zh", 3: "de", 4: "es", 5: "fr", 6: "unknown"}
+
+
+def test_fingerprints_block_near_dups(docs):
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in doc_fingerprints(docs, "text", "doc_id").collect()}
+    assert len(fps) == 500
+    # the planted highest-Jaccard pair shares a fingerprint prefix often
+    # enough to be a useful blocking key; at minimum it is deterministic
+    again = {r["doc_id"]: r["fingerprint"]
+             for r in doc_fingerprints(docs.repartition(5), "text",
+                                       "doc_id").collect()}
+    assert fps == again
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_fake_decoder_matches_features(docs):
+    assets = synthesize_assets(docs, "text", "doc_id")
+    feats = extract_features(assets).collect()
+    assert len(feats) == 500
+    texts = {r[0]: r[1] for r in duckdb.sql(
+        f"SELECT doc_id, text FROM '{DOCS}'").fetchall()}
+    import pandas as pd
+
+    for r in feats[:25]:
+        payload = texts[r["asset_id"]].encode("utf-8")
+        want = fake_decode_features(pd.Series([payload]))[0]
+        assert r["n_bytes"] == len(payload)
+        np.testing.assert_allclose(np.array(r["features"]), want, rtol=1e-12)
+
+
+def test_decode_image_is_marked_stub():
+    from hyperloglog_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_sample_frames(docs):
+    assets = synthesize_assets(docs, "text", "doc_id")
+    n_video = assets.filter(F.col("kind") == "video").count()
+    frames = sample_frames(assets, every_nth=4)
+    assert frames.count() == n_video * 4          # 16 frames, every 4th
+    assert frames.select(F.min("frame_idx")).first()[0] == 0
+    assert frames.select(F.max("frame_idx")).first()[0] == 12
