@@ -1,0 +1,167 @@
+"""Stateful streaming sketch aggregation (Structured Streaming).
+
+Sketches are the canonical streaming-aggregation state: tiny (≤16 KB),
+mergeable, and update-in-place. The reference's ``AddAs*(Stream)`` ingest
+(/root/reference/HyperLogLog/HyperLogLog.cs:464-530) maps here to
+``readStream`` micro-batches folded into per-group sketch state with
+``applyInPandasWithState`` (SURVEY.md §1.2):
+
+    state[group]  =  merge(state[group], build(batch_rows_of_group))
+    emit          =  finalize(state[group])        every trigger (update mode)
+
+Value preparation (hashing, casts) stays JVM-side exactly as in the batch
+path — the same ``SketchAggregator`` drives both, so batch and streaming
+estimates are bit-identical on identical input (asserted in tests).
+
+Scale notes: state per group is one sketch blob in the state store; the
+shuffle per micro-batch moves raw rows once to group them (unavoidable in
+update mode); watermark + per-window groups bound state growth for
+event-time queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine.aggregate import SketchAggregator
+from ..functions import HllAggregator
+
+
+def streaming_sketch_agg(
+    df: DataFrame,
+    value_cols: list[str] | str,
+    agg: SketchAggregator,
+    group_cols: list[str] | str,
+) -> DataFrame:
+    """Per-group streaming sketch aggregation in update mode.
+
+    Emits one row per group per trigger with the group's current finalized
+    estimate. State = the serialized sketch (associative merge makes
+    restarts and late arrivals exact, not approximate-on-approximate).
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not group_cols:
+        raise ValueError("streaming aggregation needs ≥1 group column "
+                         "(use a literal for a global stream)")
+
+    prepared = agg.prepare_columns(df, value_cols)
+    value_names = [f"__v{i}" for i in range(len(prepared))]
+    proj = df.select(
+        *[F.col(c) for c in group_cols],
+        *[c.alias(n) for c, n in zip(prepared, value_names)],
+    )
+
+    group_fields = [
+        f for f in df.schema.fields if f.name in group_cols
+    ]
+    out_schema = T.StructType(group_fields + list(agg.finalize_fields))
+    state_schema = T.StructType([T.StructField("sketch", T.BinaryType())])
+    build_grouped = agg.build_grouped
+    merge_many = agg.merge_many
+    finalize = agg.finalize
+    fin_names = [f.name for f in agg.finalize_fields]
+
+    def update_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts: list[bytes] = []
+        if state.exists:
+            (prev,) = state.get
+            parts.append(bytes(prev))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            values: dict[str, Any] = {
+                n: pa.array(pdf[n]) for n in value_names
+            }
+            codes = np.zeros(len(pdf), dtype=np.int64)
+            parts.extend(build_grouped(codes, values, 1))
+        if not parts:
+            return
+        merged = merge_many(parts)
+        state.update((bytearray(merged),))
+        vals = finalize(merged)
+        row = {c: [k] for c, k in zip(group_cols, key)}
+        for n in fin_names:
+            row[n] = [vals[n]]
+        yield pd.DataFrame(row)
+
+    return proj.groupBy(*group_cols).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_approx_distinct(
+    df: DataFrame,
+    cols: list[str] | str,
+    group_by: list[str] | str,
+    p: int = 14,
+    alias: str = "approx_distinct",
+) -> DataFrame:
+    """Streaming HLL distinct per group (update mode, exact restarts)."""
+    from ..functions import _drop_null_rows
+
+    key_cols = [cols] if isinstance(cols, str) else list(cols)
+    df = _drop_null_rows(df, key_cols)  # COUNT(DISTINCT ...) null semantics
+    agg = HllAggregator(p=p)
+    agg.finalize_fields = [T.StructField(alias, T.LongType(), False)]
+    base = agg.finalize
+
+    def renamed(sk: bytes) -> dict:
+        return {alias: base(sk)["approx_distinct"]}
+
+    agg.finalize = renamed  # type: ignore[method-assign]
+    return streaming_sketch_agg(df, cols, agg, group_by)
+
+
+def streaming_windowed_distinct(
+    df: DataFrame,
+    cols: list[str] | str,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    p: int = 14,
+    alias: str = "approx_distinct",
+) -> DataFrame:
+    """Event-time tumbling-window HLL distinct with a watermark.
+
+    The window start becomes a group key (computed JVM-side by flooring the
+    event time), so state is bounded by #live windows; the watermark lets
+    the engine drop state for closed windows.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour|day)s?", window)
+    if not m:
+        raise ValueError(f"unsupported window spec: {window}")
+    secs = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2)]
+
+    with_win = (
+        # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+        df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "window_start",
+            F.timestamp_seconds(
+                (F.unix_timestamp(F.col(ts_col)) / secs).cast("long") * secs
+            ),
+        )
+    )
+    out = streaming_approx_distinct(
+        with_win, cols, "window_start", p=p, alias=alias
+    )
+    return out
