@@ -76,6 +76,18 @@ def q_hll_distinct_order_cust_pairs(spark, sf_dir):
     )
 
 
+def q_hll_jvm_engine_event_users(spark, sf_dir):
+    """engine='jvm': register reduction in whole-stage codegen; registers
+    (hence estimates) bit-identical to the arrow UDAF engine. Exact here
+    (linear-counting regime)."""
+    from hyperloglog_spark import approx_distinct
+
+    return approx_distinct(
+        _t(spark, sf_dir, "events"), "user_id", p=16, alias="n_users",
+        engine="jvm",
+    )
+
+
 def q_cms_event_type_counts(spark, sf_dir):
     """CMS point estimates: exact here (value space far below sketch width)."""
     from hyperloglog_spark import cms_topk
@@ -252,6 +264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
     "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
+    "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -280,6 +293,8 @@ _ORACLES: dict[str, str] = {
     "hll_distinct_nation":
         "SELECT count(DISTINCT n_nationkey) AS n_nations FROM nation",
     "hll_distinct_event_users_p16":
+        "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "hll_jvm_engine_event_users":
         "SELECT count(DISTINCT user_id) AS n_users FROM events",
     "hll_distinct_doc_text_by_lang":
         "SELECT lang, count(DISTINCT text) AS n_texts FROM documents "

@@ -79,6 +79,8 @@ def main() -> None:
 
     queries = {
         "hll_distinct_convs": lambda: tq.distinct_conversations(trans),
+        "hll_distinct_convs_jvm": lambda: approx_distinct(
+            trans, "conv_id", engine="jvm"),
         "hll_texts_by_role_tool": lambda: tq.distinct_texts_by_role_tool(trans),
         "hll_conv_tool_pairs": lambda: tq.distinct_conv_tool_pairs(trans),
         "cms_heavy_hitter_tools": lambda: tq.heavy_hitter_tools(trans),
@@ -103,6 +105,7 @@ def main() -> None:
     # headline throughput: full two-phase HLL build over the transcripts
     # table (re-run on the timed query, not the warm-up count)
     turns_per_sec = int(n_turns / timings["hll_distinct_convs"])
+    turns_per_sec_jvm = int(n_turns / timings["hll_distinct_convs_jvm"])
 
     print(json.dumps({
         "metric": "sketch_suite_wall",
@@ -112,6 +115,7 @@ def main() -> None:
         "sf": sf,
         "n_turns": int(n_turns),
         "turns_per_sec": turns_per_sec,
+        "turns_per_sec_jvm": turns_per_sec_jvm,
         "cpus": CPUS,
     }))
     spark.stop()

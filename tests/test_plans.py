@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: pruning, pushdown, shuffle budgets.
+
+These encode the scale contract of each operator: a plan that reads extra
+columns or adds an extra Exchange is a 100-TB incident, caught here at
+60k rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_spark import approx_distinct, approx_quantiles, cms_topk
+from hyperloglog_spark.engine.plans import (
+    assert_max_exchanges,
+    assert_pruned_scan,
+    n_exchanges,
+    pushed_filters,
+    scan_columns,
+)
+from hyperloglog_spark.pipeline import exact_dedup, near_dup_pairs, token_stats
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf01_dir):
+    # other test modules may have cached this table; a cached
+    # InMemoryRelation would replace the FileScan these tests audit
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{sf01_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/documents.parquet")
+
+
+def test_hll_scan_prunes_to_sketched_column(events):
+    q = approx_distinct(events, "user_id")
+    assert_pruned_scan(q, {"user_id"})          # 6-column table, 1 read
+    assert "IsNotNull(user_id)" in pushed_filters(q)
+
+
+def test_hll_grouped_single_shuffle(events):
+    q = approx_distinct(events, "user_id", group_by="event_type")
+    assert_pruned_scan(q, {"user_id", "event_type"})
+    # one Exchange: partials -> grouped merge. Raw rows shuffle zero times.
+    assert_max_exchanges(q, 1)
+
+
+def test_hll_filter_pushdown_reaches_scan(events):
+    q = approx_distinct(events.filter(F.col("event_type") == "click"),
+                        "user_id")
+    pf = pushed_filters(q)
+    assert any("event_type" in f and "EqualTo" in f for f in pf), pf
+
+
+def test_quantiles_prune_and_single_shuffle(events):
+    q = approx_quantiles(events, "value", [0.5, 0.9])
+    assert_pruned_scan(q, {"value"})
+    assert_max_exchanges(q, 1)
+
+
+def test_cms_topk_shuffle_budget(events):
+    q = cms_topk(events, "event_type", k=5)
+    assert_pruned_scan(q, {"event_type"})
+    # candidate agg + ranked merge: allow 2 shuffles, never more
+    assert_max_exchanges(q, 2)
+
+
+def test_exact_dedup_shuffles_fingerprint_not_payload(docs):
+    q = exact_dedup(docs, "text", "doc_id")
+    assert_pruned_scan(q, {"text", "doc_id"})
+    assert_max_exchanges(q, 1)
+    # the shuffled row is (hash, md5, doc_id) — the text column must be
+    # projected away before the Exchange
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    ex_idx = plan.find("Exchange")
+    assert ex_idx != -1
+    assert "text" not in plan[:ex_idx].split("Exchange")[0].split("+- Project")[0]
+
+
+def test_token_stats_no_shuffle(docs):
+    q = token_stats(docs, "text", "doc_id")
+    assert n_exchanges(q) == 0                   # pure map-side projection
+
+
+def test_neardup_bounded_shuffles(docs):
+    q = near_dup_pairs(docs, "text", "doc_id")
+    # sig build (0) + band groupBy (1) + pair distinct (1) + two sides of
+    # the verify join (2) + final sort (1): budget 6, currently fewer
+    assert_max_exchanges(q, 6)
+
+
+def test_scan_columns_helper(events):
+    q = events.select("user_id")
+    assert scan_columns(q) == {"user_id"}
