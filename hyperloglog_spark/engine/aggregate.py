@@ -136,9 +136,26 @@ def sketch_partials(
                     codes_arr, uniq = pd.factorize(key_cols[0], use_na_sentinel=False)
                     uniques = [(u,) for u in uniq]
                 else:
-                    mi = pd.MultiIndex.from_arrays(key_cols)
-                    codes_arr, uniq = pd.factorize(mi, use_na_sentinel=False)
-                    uniques = list(uniq)
+                    # radix-combine per-column codes, then factorize the
+                    # int64 keys — O(n) hash path; MultiIndex.factorize
+                    # materializes python tuples and is ~10x slower
+                    col_codes, col_uniqs = [], []
+                    for kc in key_cols:
+                        c, u = pd.factorize(kc, use_na_sentinel=False)
+                        col_codes.append(c.astype(np.int64))
+                        col_uniqs.append(u)
+                    combined = col_codes[0]
+                    for c, u in zip(col_codes[1:], col_uniqs[1:]):
+                        combined = combined * np.int64(len(u)) + c
+                    codes_arr, _ = pd.factorize(combined)
+                    first_pos = (
+                        pd.Series(codes_arr).drop_duplicates().index.values
+                    )
+                    uniques = [
+                        tuple(col_uniqs[j][col_codes[j][fp]]
+                              for j in range(n_groups_cols))
+                        for fp in first_pos
+                    ]
                 codes = codes_arr.astype(np.int64)
             sketches = build_grouped(codes, values, len(uniques))
             counts = np.bincount(codes, minlength=len(uniques))

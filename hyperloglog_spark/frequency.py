@@ -126,27 +126,30 @@ def cms_topk(
         import pandas as pd
 
         tbl: bytes | None = None
-        counts: dict[Any, tuple[int, int]] = {}  # value -> (count, hash)
+        per_batch: list = []          # vectorized accumulation, no py loops
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             h = _to_numpy_u64(batch.column(1))
             part = cms.from_hashes(h, d=d, log2_w=log2_w)
             tbl = part if tbl is None else cms.merge_many([tbl, part])
-            vs = batch.column(0).to_pandas()
-            hs = batch.column(1).to_pandas()
-            vc = pd.DataFrame({"v": vs, "h": hs}).groupby(
-                "v", sort=False
-            ).agg(n=("v", "size"), h=("h", "first"))
-            for v, row in vc.iterrows():
-                old = counts.get(v)
-                counts[v] = (
-                    (old[0] + int(row["n"]), old[1]) if old
-                    else (int(row["n"]), int(row["h"]))
-                )
+            per_batch.append(
+                pd.DataFrame({
+                    "v": batch.column(0).to_pandas(),
+                    "h": batch.column(1).to_pandas(),
+                }).groupby("v", sort=False, as_index=False)
+                .agg(n=("v", "size"), h=("h", "first"))
+            )
         if tbl is None:
             return
-        top = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:cpp]
+        acc = (
+            pd.concat(per_batch, ignore_index=True)
+            .groupby("v", sort=False, as_index=False)
+            .agg(n=("n", "sum"), h=("h", "first"))
+            .sort_values(["n", "v"], ascending=[False, True])
+            .head(cpp)
+        )
+        top = list(zip(acc["v"], zip(acc["n"].astype(int), acc["h"].astype(int))))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([tbl], type=pa.binary()),
