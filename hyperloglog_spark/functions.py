@@ -81,6 +81,13 @@ class HllAggregator(SketchAggregator):
             return fnv1a64_utf16le(arr.to_pandas())
         if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
             return fnv1a64_binary(arr.to_pandas())
+        if pa.types.is_floating(arr.type):
+            # reference Add(float/double) VALUE-casts (truncates) before
+            # hashing (/root/reference/HyperLogLog/HyperLogLog.cs:201-213);
+            # negatives follow int64 two's-complement (documented deviation
+            # from C#'s platform-defined negative float->ulong cast)
+            vals = np.trunc(arr.to_numpy(zero_copy_only=False))
+            return mix64(vals.astype(np.int64))
         return mix64(arr.to_numpy(zero_copy_only=False).astype(np.int64))
 
     def build_grouped(self, codes, values, n_groups) -> list[bytes]:

@@ -260,6 +260,25 @@ def error_bound(p: int) -> float:
     return 1.04 / math.sqrt(1 << p)
 
 
+def union_estimate(sketches) -> int:
+    """|A ∪ B ∪ ...| — exact register-max merge then estimate (the union of
+    HLL sketches is lossless: same registers as sketching the union)."""
+    return estimate(merge_many(sketches))
+
+
+def intersection_estimate(a: bytes, b: bytes) -> int:
+    """|A ∩ B| via inclusion-exclusion. Error grows when the true
+    intersection is small relative to the union (the classic HLL caveat —
+    each term carries ±1.04/√m of ITS estimate); clamped at 0."""
+    return max(0, estimate(a) + estimate(b) - union_estimate([a, b]))
+
+
+def jaccard_estimate(a: bytes, b: bytes) -> float:
+    """Jaccard similarity |A∩B| / |A∪B| from two sketches."""
+    u = union_estimate([a, b])
+    return intersection_estimate(a, b) / u if u else 0.0
+
+
 def count_prehashed(hashes: np.ndarray, p: int = DEFAULT_P) -> int:
     """One-shot build + estimate over pre-hashed uint64 values — the
     ``Count14`` fast path (/root/reference/HyperLogLog/HyperLogLog.cs:945-991)

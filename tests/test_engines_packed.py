@@ -124,3 +124,36 @@ def test_count_prehashed_matches_pipeline():
     # statistical sanity at the reference's measured points (~0.45-0.6%)
     err = abs(hll.count_prehashed(hs) - 100_000) / 100_000
     assert err < 3 * 1.04 / 2 ** 7
+
+# ------------------------------------------------------------- set algebra
+
+
+def test_union_intersection_jaccard_estimates():
+    rng = np.random.default_rng(11)
+    a_vals = rng.integers(0, 2 ** 62, size=60_000, dtype=np.uint64)
+    b_vals = np.concatenate([a_vals[:20_000],                  # overlap
+                             rng.integers(2 ** 62, 2 ** 63, size=40_000,
+                                          dtype=np.uint64)])
+    sa = hll.from_hashes(mix64(a_vals.astype(np.int64)), 14)
+    sb = hll.from_hashes(mix64(b_vals.astype(np.int64)), 14)
+    exact_a = len(np.unique(a_vals))
+    exact_b = len(np.unique(b_vals))
+    exact_u = len(np.unique(np.concatenate([a_vals, b_vals])))
+    exact_i = exact_a + exact_b - exact_u
+    bound = 3 * 1.04 / 2 ** 7
+    assert abs(hll.union_estimate([sa, sb]) - exact_u) / exact_u < bound
+    # intersection via inclusion-exclusion: three +-bound terms
+    assert abs(hll.intersection_estimate(sa, sb) - exact_i) / exact_u < 3 * bound
+    j = hll.jaccard_estimate(sa, sb)
+    assert abs(j - exact_i / exact_u) < 3 * bound
+
+
+def test_parity_float_truncation_hashing(spark):
+    from hyperloglog_spark import approx_distinct
+
+    df = spark.createDataFrame(
+        [(1.9,), (1.2,), (3.0,), (2.5,), (1.7,)], ["x"]
+    )
+    got = approx_distinct(df, "x", hashing="parity").first()[0]
+    # truncation: {1, 3, 2} -> 3 distinct, mirroring reference Add(double)
+    assert got == 3
