@@ -88,6 +88,21 @@ def q_hll_jvm_engine_event_users(spark, sf_dir):
     )
 
 
+def q_hll_packed_binary(spark, sf_dir):
+    """AddAs* packed-binary ingest: document texts as utf-8 byte buffers
+    reinterpreted as packed int32 values, approximate distinct of the
+    values (rows-only: byte-reinterpretation is not SQL-expressible;
+    estimator parity asserted in tests/test_engines_packed.py)."""
+    from hyperloglog_spark.functions import approx_distinct_packed
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        F.encode("text", "utf-8").alias("payload")
+    )
+    return approx_distinct_packed(payload, "payload", "int32",
+                                  alias="n_packed_values")
+
+
 def q_cms_event_type_counts(spark, sf_dir):
     """CMS point estimates: exact here (value space far below sketch width)."""
     from hyperloglog_spark import cms_topk
@@ -265,6 +280,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_nation": q_hll_distinct_nation,
     "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
     "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
+    "hll_packed_binary": q_hll_packed_binary,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,

@@ -60,9 +60,14 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     tpath = transcripts_path(sf)
 
+    from pyspark.sql import functions as F
+
     from hyperloglog_spark import transcripts as tq
     from hyperloglog_spark import approx_distinct, approx_quantiles, cms_topk
     from hyperloglog_spark.engine.session import get_spark
+    from hyperloglog_spark.pipeline import (
+        brute_force_topk, near_dup_pairs, quality_score,
+    )
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -92,6 +97,15 @@ def main() -> None:
             t(spark, "lineitem"), "l_partkey", k=5),
         "kll_price_quantiles": lambda: approx_quantiles(
             t(spark, "lineitem"), "l_extendedprice", [0.5, 0.9, 0.99]),
+        "neardup_minhash_docs": lambda: near_dup_pairs(
+            t(spark, "documents"), "text", "doc_id"),
+        "embedding_topk_docs": lambda: brute_force_topk(
+            t(spark, "embeddings"),
+            t(spark, "embeddings").filter(F.col("vec_id") < 32),
+            "vec_id", "embedding", k=10,
+        ),
+        "text_quality_docs": lambda: quality_score(
+            t(spark, "documents"), "text", "doc_id"),
     }
 
     timings: dict[str, float] = {}
