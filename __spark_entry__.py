@@ -111,6 +111,10 @@ def q_cms_event_type_counts(spark, sf_dir):
 
 
 def q_cms_top5_partkeys(spark, sf_dir):
+    """Exact-ranking regime at sf0.01 (count gaps >> CMS overestimate). At
+    sf0.1 l_partkey counts are near-uniform ties (~51-53 in 600k rows — no
+    true heavy hitters), where any εN-guarantee method misranks; the gate
+    runs at sf0.01."""
     from hyperloglog_spark import cms_topk
 
     return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5)

@@ -130,8 +130,11 @@ def update(sketch: bytes, values: np.ndarray) -> bytes:
     st.vmax = max(st.vmax, float(vals.max()))
     if not st.levels:
         st.levels = [np.empty(0, dtype=np.float64)]
-    # feed in capacity-sized chunks so level-0 never over-fills unboundedly
-    chunk = max(_cap(st.k, 0, len(st.levels)), 1)
+    # feed in large chunks: level 0 over-fills transiently and the compact
+    # cascade restores every capacity. Error guarantees are per-compaction
+    # (offset-sampled halving), so bigger batches cost nothing in accuracy
+    # and drop the per-chunk Python overhead ~300x vs capacity-sized feeds.
+    chunk = max(_cap(st.k, 0, len(st.levels)), 1 << 16)
     for i in range(0, len(vals), chunk):
         part = vals[i: i + chunk]
         st.levels[0] = np.concatenate([st.levels[0], part])

@@ -42,26 +42,30 @@ def _compress(
     order = np.argsort(means, kind="stable")
     means, weights = means[order], weights[order]
     total = weights.sum()
+    # The greedy absorb loop has a closed form per OUTPUT centroid: the k1
+    # budget is fixed when a centroid opens, so its end is a prefix-sum
+    # lookup. O(#centroids · log n) instead of a per-element Python loop
+    # (~2000x fewer iterations at 2M raw values).
+    cw = np.cumsum(weights)
+    cmw = np.cumsum(means * weights)
     out_means: list[float] = []
     out_weights: list[float] = []
-    # current accumulating centroid
-    acc_w = weights[0]
-    acc_sum = means[0] * weights[0]
-    w_so_far = 0.0  # weight fully emitted so far
-    q_limit_w = _q_limit_weight(0.0, total, delta)
-    for i in range(1, len(means)):
-        w = weights[i]
-        if acc_w + w <= q_limit_w:
-            acc_w += w
-            acc_sum += means[i] * w
-        else:
-            out_means.append(acc_sum / acc_w)
-            out_weights.append(acc_w)
-            w_so_far += acc_w
-            q_limit_w = _q_limit_weight(w_so_far / total, total, delta)
-            acc_w, acc_sum = w, means[i] * w
-    out_means.append(acc_sum / acc_w)
-    out_weights.append(acc_w)
+    start = 0
+    w_so_far = 0.0
+    n = len(means)
+    while start < n:
+        base_w = cw[start - 1] if start else 0.0
+        base_s = cmw[start - 1] if start else 0.0
+        limit = _q_limit_weight(w_so_far / total, total, delta)
+        j = int(np.searchsorted(cw, base_w + limit, side="right")) - 1
+        if j < start:
+            j = start                       # first element always absorbed
+        seg_w = cw[j] - base_w
+        seg_s = cmw[j] - base_s
+        out_means.append(seg_s / seg_w)
+        out_weights.append(seg_w)
+        w_so_far += seg_w
+        start = j + 1
     return np.array(out_means), np.array(out_weights)
 
 
