@@ -206,13 +206,15 @@ def merge_many(sketches) -> bytes:
             ranks.append(r)
         idx = np.concatenate(idxs)
         rank = np.concatenate(ranks)
+        if len(idx) == 0:                 # all inputs empty-sparse
+            return _serialize(p0, idx, rank)
         order = np.argsort(idx, kind="stable")
         i_sorted, r_sorted = idx[order], rank[order]
         starts = np.concatenate(
             ([0], np.flatnonzero(np.diff(i_sorted)) + 1)
         )
         uniq = i_sorted[starts]
-        mx = np.maximum.reduceat(r_sorted, starts) if len(i_sorted) else r_sorted
+        mx = np.maximum.reduceat(r_sorted, starts)
         return _serialize(p0, uniq, mx)
     acc = registers(sketches[0])
     for s in sketches[1:]:
