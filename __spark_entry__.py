@@ -232,8 +232,8 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """Integer-permille quality components (rows-only; formula asserted
-    deterministic + bounded in tests)."""
+    """Integer-permille quality components — fully SQL-mirrored oracle
+    (all-integer arithmetic, engine-independent)."""
     from hyperloglog_spark.pipeline import quality_score
 
     return quality_score(
@@ -394,6 +394,34 @@ SELECT CASE
        ['the','a','an','and','of','to','in','is','it','that','for'])) > 0 THEN 'en'
   ELSE 'unknown' END AS lang_pred, count(*) AS n_docs
 FROM documents GROUP BY lang_pred ORDER BY lang_pred
+""",
+    "text_quality": r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks,
+             ['the','a','an','and','of','to','in','is','it','that','for'])) AS n_stop,
+         n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(list_distinct(toks)) AS n_types,
+         n_chars
+  FROM t
+), pm AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) AS stop_permille,
+         CAST(floor(n_punct * 1000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_permille,
+         CAST(floor(n_types * 1000.0 / n_tokens) AS BIGINT) AS ttr_permille
+  FROM c
+)
+SELECT doc_id, n_tokens, stop_permille, punct_permille, ttr_permille,
+       greatest(least(CAST(floor(
+         least(n_tokens, 200) * 2 + least(stop_permille, 300)
+         + ttr_permille / 5 - least(punct_permille, 300)) AS BIGINT),
+         1000), 0) AS score
+FROM pm ORDER BY doc_id
 """,
     "multimodal_features":
         "SELECT doc_id AS asset_id, "
