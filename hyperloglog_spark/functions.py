@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
+from .engine.aggregate import (
+    SKETCH_COL,
+    SketchAggregator,
+    collect_merged,
+    sketch_agg,
+)
 from .sketch import hll
 from .sketch.hashing import fnv1a64_binary, fnv1a64_utf16le, mix64
 
@@ -178,6 +183,37 @@ def _jvm_estimate(
     )
 
 
+def _jvm_sketch_rows(
+    reg_rows: DataFrame, p: int, group_cols: list[str]
+) -> DataFrame:
+    """Assemble BinaryType sketches from JVM register rows. Byte-identical
+    to the arrow path's merged sketches (same registers → the codec picks
+    the same sparse/dense envelope deterministically)."""
+    group_fields = [f for f in reg_rows.schema.fields if f.name in group_cols]
+    out_schema = T.StructType(
+        group_fields + [T.StructField(SKETCH_COL, T.BinaryType(), False)]
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        idx = pdf["__idx"].to_numpy().astype(np.int64)
+        rank = pdf["__rank"].to_numpy().astype(np.uint8)
+        order = np.argsort(idx)
+        sk = hll._serialize(p, idx[order], rank[order])
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row[SKETCH_COL] = [sk]
+        return pd.DataFrame(row)
+
+    if group_cols:
+        return reg_rows.groupBy(*group_cols).applyInPandas(build, out_schema)
+    tmp = reg_rows.withColumn("__g", F.lit(1))
+    return tmp.groupBy("__g").applyInPandas(
+        lambda pdf: build(pdf).assign(__g=1)[[SKETCH_COL]],
+        T.StructType([T.StructField(SKETCH_COL, T.BinaryType(), False)]),
+    )
+
+
 def approx_distinct(
     df: DataFrame,
     cols: str | list[str],
@@ -234,17 +270,28 @@ def hll_sketch_agg(
     group_by: str | list[str] | None = None,
     p: int = hll.DEFAULT_P,
     hashing: str = "spark",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Like approx_distinct but returns the merged sketch (BinaryType) per
-    group — composable: store it, merge it later, estimate at the driver."""
+    group — composable: store it, merge it later, estimate at the driver.
+
+    engine="jvm" builds the same sketch BYTES via codegen register
+    reduction (only register rows cross to Python) — the scale path when
+    group cardinality is modest."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )
+    clean = _drop_null_rows(df, cols)
+    if engine == "jvm":
+        if hashing != "spark":
+            raise ValueError("engine='jvm' supports hashing='spark' only")
+        reg_rows = _jvm_register_rows(clean, cols, p, group_by)
+        return _jvm_sketch_rows(reg_rows, p, group_by)
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'arrow' or 'jvm': {engine!r}")
     agg = HllAggregator(p=p, hashing=hashing)
-    return sketch_agg(
-        _drop_null_rows(df, cols), cols, agg, group_by, finalize=False
-    )
+    return sketch_agg(clean, cols, agg, group_by, finalize=False)
 
 
 def hll_merged_sketch(

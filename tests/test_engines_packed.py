@@ -157,3 +157,19 @@ def test_parity_float_truncation_hashing(spark):
     got = approx_distinct(df, "x", hashing="parity").first()[0]
     # truncation: {1, 3, 2} -> 3 distinct, mirroring reference Add(double)
     assert got == 3
+
+
+def test_jvm_sketch_agg_bytes_identical(spark, sf01_dir):
+    """hll_sketch_agg: jvm engine produces BYTE-IDENTICAL sketches to the
+    arrow UDAF path (same registers -> same deterministic codec choice)."""
+    from hyperloglog_spark import hll_sketch_agg
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    a = {r["event_type"]: bytes(r["sketch"]) for r in hll_sketch_agg(
+        ev, "user_id", group_by="event_type", engine="arrow").collect()}
+    j = {r["event_type"]: bytes(r["sketch"]) for r in hll_sketch_agg(
+        ev, "user_id", group_by="event_type", engine="jvm").collect()}
+    assert a == j
+    ga = bytes(hll_sketch_agg(ev, "user_id", engine="arrow").first()["sketch"])
+    gj = bytes(hll_sketch_agg(ev, "user_id", engine="jvm").first()["sketch"])
+    assert ga == gj
