@@ -70,9 +70,20 @@ class HllAggregator(SketchAggregator):
 
     def prepare_columns(self, df: DataFrame, cols: list[str]):
         if self.hashing == "spark":
-            # null semantics of count(distinct): drop rows where all key
-            # columns are null; composite keys hash the tuple.
-            return [F.xxhash64(*[F.col(c) for c in cols])]
+            # The full idx/σ computation runs JVM-side (codegen bit ops,
+            # identical to the numpy kernel — see sketch/hashing.clz64) and
+            # ships PACKED as one int32 (idx ≤16 bits, σ ≤7 bits — σ=65 in
+            # the degenerate all-zero-suffix case, so 6 bits is not enough):
+            # half the Arrow IPC bytes of shipping the 64-bit hash.
+            h = F.xxhash64(*[F.col(c) for c in cols])
+            x = F.shiftleft(h, self.p)
+            for s in (1, 2, 4, 8, 16, 32):
+                x = x.bitwiseOR(F.shiftrightunsigned(x, s))
+            sigma = F.lit(65) - F.bit_count(x)
+            idx = F.shiftrightunsigned(h, 64 - self.p)
+            return [
+                (F.shiftleft(idx, 7).bitwiseOR(sigma)).cast("int")
+            ]
         if len(cols) != 1:
             raise ValueError("parity hashing supports a single column")
         return [F.col(cols[0])]
@@ -97,11 +108,14 @@ class HllAggregator(SketchAggregator):
 
     def build_grouped(self, codes, values, n_groups) -> list[bytes]:
         (arr,) = values.values()
-        if self.hashing == "parity" and arr.null_count:
+        if self.hashing == "spark":
+            packed = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = packed >> 7
+            sigma = (packed & 127).astype(np.uint8)
+            return hll.group_from_registers(codes, idx, sigma, n_groups, self.p)
+        if arr.null_count:
             mask = ~np.asarray(arr.is_null())
             codes = codes[mask]
-        elif self.hashing == "spark":
-            pass  # xxhash64 never yields null for non-null input rows
         hashes = self._hashes(arr)
         return hll.group_from_hashes(codes, hashes, n_groups, self.p)
 

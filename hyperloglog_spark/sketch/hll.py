@@ -154,9 +154,21 @@ def group_from_hashes(
     n_groups * m — this is what keeps high-cardinality groupBy sketching
     viable per partition (map-side combine).
     """
+    idx, sigma = _idx_sigma(hashes, p)
+    return group_from_registers(group_codes, idx, sigma, n_groups, p)
+
+
+def group_from_registers(
+    group_codes: np.ndarray,
+    idx: np.ndarray,
+    sigma: np.ndarray,
+    n_groups: int,
+    p: int = DEFAULT_P,
+) -> list[bytes]:
+    """Like group_from_hashes but over pre-split (idx, σ) pairs — the input
+    shape when the register computation already ran JVM-side."""
     _validate_p(p)
     m = 1 << p
-    idx, sigma = _idx_sigma(hashes, p)
     key = group_codes.astype(np.int64) * m + idx
     order = np.argsort(key, kind="stable")
     k_sorted = key[order]
