@@ -88,6 +88,23 @@ def q_hll_jvm_engine_event_users(spark, sf_dir):
     )
 
 
+def q_hll_rollup_event_users(spark, sf_dir):
+    """Stored-sketch rollup: per-(event_type, day) HLL sketch rows merged
+    up to event_type with ZERO rescan of the data rows — the lakehouse
+    pattern that turns a 100 TB rescan into a merge of KB-sized cells.
+    Registers are byte-identical to a direct build (tests/test_rollup.py);
+    exact here (p=16 linear-counting regime)."""
+    from hyperloglog_spark import hll_rollup, hll_sketch_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    daily = hll_sketch_agg(ev, "user_id", group_by=["event_type", "day"], p=16)
+    return hll_rollup(
+        daily, group_by="event_type", alias="n_users"
+    ).orderBy("event_type")
+
+
 def q_hll_packed_binary(spark, sf_dir):
     """AddAs* packed-binary ingest: document texts as utf-8 byte buffers
     reinterpreted as packed int32 values, approximate distinct of the
@@ -285,6 +302,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
     "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
     "hll_packed_binary": q_hll_packed_binary,
+    "hll_rollup_event_users": q_hll_rollup_event_users,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -316,6 +334,9 @@ _ORACLES: dict[str, str] = {
         "SELECT count(DISTINCT user_id) AS n_users FROM events",
     "hll_jvm_engine_event_users":
         "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "hll_rollup_event_users":
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
+        "GROUP BY event_type ORDER BY event_type",
     "hll_distinct_doc_text_by_lang":
         "SELECT lang, count(DISTINCT text) AS n_texts FROM documents "
         "GROUP BY lang ORDER BY lang",

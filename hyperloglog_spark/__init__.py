@@ -14,6 +14,7 @@ from .functions import (
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
 from .quantiles import approx_quantiles, kll_agg, tdigest_agg
+from .rollup import hll_rollup, merge_sketches
 
 __version__ = "0.1.0"
 
@@ -27,8 +28,10 @@ __all__ = [
     "cms_topk",
     "hll_estimate_udf",
     "hll_merged_sketch",
+    "hll_rollup",
     "hll_sketch_agg",
     "kll_agg",
+    "merge_sketches",
     "tdigest_agg",
     "with_might_contain",
 ]
