@@ -70,6 +70,15 @@ class TestHllRollup:
         want = approx_distinct(events, "user_id").collect()[0][0]
         assert est == want
 
+    def test_persisted_sketches_roundtrip_parquet(self, events, spark, tmp_path):
+        daily = hll_sketch_agg(events, "user_id", group_by="day")
+        path = str(tmp_path / "sketches")
+        daily.write.parquet(path)
+        stored = spark.read.parquet(path)
+        got = hll_rollup(stored).collect()[0][0]
+        want = hll_rollup(daily).collect()[0][0]
+        assert got == want
+
     def test_null_cells_skipped(self, events, spark):
         daily = hll_sketch_agg(events, "user_id", group_by="day")
         import pyspark.sql.types as T
