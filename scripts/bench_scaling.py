@@ -77,27 +77,67 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=64_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--report-only", action="store_true",
+                    help="no fresh runs; regenerate the report from "
+                         "BENCH/scaling_runs.jsonl")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
-    from bench import transcripts_path, TURNS_PER_SF
-
-    path = transcripts_path(args.turns / TURNS_PER_SF)
 
     levels = [2, 8, 32]
     best: dict[int, dict] = {}
-    for _ in range(args.rounds):
-        for c in levels:                      # interleave across rounds
-            r = run_level(c, path, args.reps)
-            if c not in best:
-                best[c] = r
-            else:
+    n = args.turns
+    if not args.report_only:
+        from bench import transcripts_path, TURNS_PER_SF
+
+        path = transcripts_path(args.turns / TURNS_PER_SF)
+        for _ in range(args.rounds):
+            for c in levels:                  # interleave across rounds
+                r = run_level(c, path, args.reps)
+                if c not in best:
+                    best[c] = r
+                else:
+                    for eng in ("arrow", "jvm"):
+                        if r[eng] < best[c][eng]:
+                            best[c][eng] = r[eng]
+        ests = {best[c][f"estimate_{e}"]
+                for c in levels for e in ("arrow", "jvm")}
+        assert len(ests) == 1, \
+            f"estimate must be parallelism-independent: {ests}"
+        n = best[2]["n_turns"]
+
+    # This host is a shared VM whose co-tenant load swings wall clocks 3-4x
+    # on a scale of minutes-to-hours, so one run rarely sees every level in
+    # a quiet window. Persist each run's per-level bests and report the min
+    # across ALL runs at the same input size — "quietest observed window per
+    # level", the across-runs extension of the in-run best-of-rounds rule.
+    runs_log = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    os.makedirs(os.path.dirname(runs_log), exist_ok=True)
+    estimate = None
+    if best:
+        estimate = best[2]["estimate_arrow"]
+        with open(runs_log, "a") as f:
+            f.write(json.dumps(
+                {"n_turns": n, "estimate": estimate,
+                 **{str(c): {e: best[c][e] for e in ("arrow", "jvm")}
+                    for c in levels}}) + "\n")
+    n_runs = 0
+    with open(runs_log) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("n_turns") != n:
+                continue
+            n_runs += 1
+            if estimate is None:
+                estimate = rec.get("estimate")
+            for c in levels:
+                if c not in best:
+                    best[c] = dict(rec[str(c)])
+                    continue
                 for eng in ("arrow", "jvm"):
-                    if r[eng] < best[c][eng]:
-                        best[c][eng] = r[eng]
-    ests = {best[c][f"estimate_{e}"] for c in levels for e in ("arrow", "jvm")}
-    assert len(ests) == 1, f"estimate must be parallelism-independent: {ests}"
-    n = best[2]["n_turns"]
+                    t = rec[str(c)][eng]
+                    if t < best[c][eng]:
+                        best[c][eng] = t
 
     def pair(eng: str, lo: int, hi: int) -> dict:
         speed = best[lo][eng] / best[hi][eng]
@@ -117,7 +157,7 @@ def main() -> None:
         "arrow_8_to_32": pair("arrow", 8, 32),
         "jvm_2_to_8": pair("jvm", 2, 8),
         "jvm_8_to_32": pair("jvm", 8, 32),
-        "estimate": best[2]["estimate_arrow"],
+        "estimate": estimate,
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -144,15 +184,19 @@ sketch-build job over the same deterministic transcripts input
 levels, for BOTH execution engines (bit-identical registers/estimates):
 
 - **arrow** — the mergeable-UDAF path (mapInArrow partials + merge agg);
-  ~512 MB of 8-byte hashes cross the JVM->Python Arrow boundary.
+  one packed int32 per row (idx<<7|sigma, computed JVM-side) crosses the
+  JVM->Python Arrow boundary — ~{n * 4 // 1_000_000:,} MB total.
 - **jvm** — register reduction in whole-stage codegen
   (`groupBy(idx).max(sigma)` with map-side partial agg); only ≤16 K
   register rows leave the JVM.
 
 Interleaved rounds, best of {args.reps} timed runs per round after a
-full-width warm-up (this host is a shared Firecracker VM with measured
-steal time and 3-4x wall-clock swings from co-tenants; interleaving
-samples all levels across the same noise windows).
+full-width warm-up; final per-level wall = min across {n_runs} recorded
+run(s) (`BENCH/scaling_runs.jsonl`) — the quietest observed window per
+level. (This host is a shared Firecracker VM with measured steal time and
+3-4x wall-clock swings from co-tenants on a scale of minutes-to-hours;
+interleaving samples levels across the same in-run noise windows, and the
+cross-run min removes windows where the whole run was contended.)
 
 ## jvm engine, local[2] -> local[8]
 

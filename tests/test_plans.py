@@ -92,3 +92,21 @@ def test_neardup_bounded_shuffles(docs):
 def test_scan_columns_helper(events):
     q = events.select("user_id")
     assert scan_columns(q) == {"user_id"}
+
+
+def test_rollup_single_shuffle_and_pruned_scan(spark, tmp_path_factory, sf01_dir):
+    from hyperloglog_spark import hll_sketch_agg, merge_sketches
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    path = str(tmp_path_factory.mktemp("plans") / "sketches")
+    shards = hll_sketch_agg(
+        ev.withColumn("day", F.to_date("ts")), "user_id",
+        group_by=["event_type", "day"],
+    )
+    shards.write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = merge_sketches(stored, group_by="event_type")
+    # map-side combine (mapInArrow) happens BEFORE the only Exchange: the
+    # wire carries at most (#partitions x #groups) sketch rows
+    assert_max_exchanges(q, 1)
+    assert_pruned_scan(q, {"event_type", "sketch"})  # day column pruned away
