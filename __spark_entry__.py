@@ -105,6 +105,30 @@ def q_hll_rollup_event_users(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_hll_set_algebra_users(spark, sf_dir):
+    """HLL set algebra over stored sketches: |click|, |view|, |click ∪ view|
+    (lossless register-max merge), |click ∩ view| (inclusion-exclusion).
+    Exact here — every term sits in the p=16 linear-counting regime, so
+    the inclusion-exclusion has no error to amplify."""
+    from hyperloglog_spark.functions import hll_sketch_agg
+    from hyperloglog_spark.sketch import hll
+
+    ev = _t(spark, sf_dir, "events")
+    sk = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in hll_sketch_agg(
+            ev.filter(F.col("event_type").isin("click", "view")),
+            "user_id", group_by="event_type", p=16, engine="jvm",
+        ).collect()
+    }
+    a, b = sk["click"], sk["view"]
+    return spark.createDataFrame(
+        [(hll.estimate(a), hll.estimate(b), hll.union_estimate([a, b]),
+          hll.intersection_estimate(a, b))],
+        "n_click long, n_view long, n_union long, n_intersection long",
+    )
+
+
 def q_hll_packed_binary(spark, sf_dir):
     """AddAs* packed-binary ingest: document texts as utf-8 byte buffers
     reinterpreted as packed int32 values, approximate distinct of the
@@ -303,6 +327,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
     "hll_packed_binary": q_hll_packed_binary,
     "hll_rollup_event_users": q_hll_rollup_event_users,
+    "hll_set_algebra_users": q_hll_set_algebra_users,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -337,6 +362,20 @@ _ORACLES: dict[str, str] = {
     "hll_rollup_event_users":
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
         "GROUP BY event_type ORDER BY event_type",
+    "hll_set_algebra_users":
+        "SELECT "
+        "count(DISTINCT CASE WHEN event_type='click' THEN user_id END) "
+        "  AS n_click, "
+        "count(DISTINCT CASE WHEN event_type='view' THEN user_id END) "
+        "  AS n_view, "
+        "count(DISTINCT CASE WHEN event_type IN ('click','view') "
+        "  THEN user_id END) AS n_union, "
+        "(SELECT count(*) FROM "
+        " (SELECT user_id FROM events WHERE event_type='click' "
+        "  INTERSECT "
+        "  SELECT user_id FROM events WHERE event_type='view') t) "
+        "  AS n_intersection "
+        "FROM events",
     "hll_distinct_doc_text_by_lang":
         "SELECT lang, count(DISTINCT text) AS n_texts FROM documents "
         "GROUP BY lang ORDER BY lang",
