@@ -14,7 +14,7 @@ from .functions import (
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
 from .quantiles import approx_quantiles, kll_agg, tdigest_agg
-from .rollup import hll_rollup, merge_sketches
+from .rollup import hll_rollup, merge_sketches, quantiles_rollup
 
 __version__ = "0.1.0"
 
@@ -32,6 +32,7 @@ __all__ = [
     "hll_sketch_agg",
     "kll_agg",
     "merge_sketches",
+    "quantiles_rollup",
     "tdigest_agg",
     "with_might_contain",
 ]

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from .engine.aggregate import SKETCH_COL, _group_field, _isna, _to_arrow
 from .sketch import bloom, cms, codec, hll, kll, tdigest
 
-__all__ = ["merge_sketches", "hll_rollup"]
+__all__ = ["merge_sketches", "hll_rollup", "quantiles_rollup"]
 
 _MERGERS = {
     codec.KIND_HLL: hll.merge_many,
@@ -169,4 +169,60 @@ def hll_rollup(
     return merged.select(
         *[F.col(c) for c in group_cols],
         hll_estimate_udf(F.col("__sk")).alias(alias),
+    )
+
+
+def quantiles_rollup(
+    df: DataFrame,
+    qs: list[float],
+    sketch_col: str = SKETCH_COL,
+    group_by: str | list[str] | None = None,
+) -> DataFrame:
+    """Quantiles at ranks ``qs`` from STORED KLL or t-digest sketch rows,
+    merged up to ``group_by`` — the quantile twin of :func:`hll_rollup`.
+    The kind (KLL vs t-digest) is read from each cell's codec envelope.
+    Output columns follow approx_quantiles naming (0.5 -> q5, 0.99 -> q99).
+    """
+    import numpy as np
+
+    from .quantiles import _q_name
+    from .sketch import kll as _kll
+    from .sketch import tdigest as _td
+
+    qs = list(qs)
+    if any(not 0 <= q <= 1 for q in qs):
+        raise ValueError(f"quantile ranks must be in [0, 1]: {qs}")
+    merged = merge_sketches(df, sketch_col, group_by, alias="__sk")
+    group_cols = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def qudf(cells):
+        import pandas as pd
+
+        out = []
+        for cell in cells:
+            b = bytes(cell)
+            kind = codec.sketch_kind(b)
+            if kind == codec.KIND_KLL:
+                vals = _kll.quantiles(b, qs)
+            elif kind == codec.KIND_TDIGEST:
+                vals = _td.quantiles(b, qs)
+            else:
+                raise ValueError(
+                    f"quantiles_rollup needs KLL/t-digest cells, got kind {kind}"
+                )
+            out.append([None if np.isnan(v) else float(v) for v in vals])
+        return pd.Series(out)
+
+    sel = merged.select(
+        *[F.col(c) for c in group_cols], qudf(F.col("__sk")).alias("__qs")
+    )
+    return sel.select(
+        *[F.col(c) for c in group_cols],
+        *[
+            F.element_at("__qs", i + 1).alias(_q_name(q))
+            for i, q in enumerate(qs)
+        ],
     )

@@ -4,6 +4,7 @@ DataFrame level), for every sketch kind, with no rescan of the data."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,6 +108,47 @@ class TestOtherKinds:
         # general; the contract is a valid sketch whose quantiles are sane
         lo, mid, hi = (kll.quantiles(rolled, [0.0, 0.5, 1.0]))
         assert lo <= mid <= hi
+
+    def test_quantiles_rollup_within_rank_error(self, events):
+        # KLL merges are order-independent but bracketing-SENSITIVE (each
+        # merge call compacts), so distributed rollup bytes legitimately
+        # differ from a flat driver merge; the contract is rank error.
+        from hyperloglog_spark import quantiles_rollup
+
+        shards = kll_agg(events, "value", group_by="day")
+        got = quantiles_rollup(shards, [0.5, 0.9]).collect()[0]
+        vals = np.sort(
+            np.array([r[0] for r in events.select("value").collect()])
+        )
+        for q, name in [(0.5, "q5"), (0.9, "q9")]:
+            lo = vals[int(max(q - 0.05, 0) * (len(vals) - 1))]
+            hi = vals[int(min(q + 0.05, 1) * (len(vals) - 1))]
+            assert lo <= got[name] <= hi, (name, got[name], lo, hi)
+
+    def test_quantiles_rollup_tdigest_grouped(self, events):
+        from hyperloglog_spark import quantiles_rollup
+        from hyperloglog_spark.quantiles import tdigest_agg
+
+        shards = tdigest_agg(events, "value", group_by=["event_type", "day"])
+        got = {
+            r["event_type"]: r["q5"]
+            for r in quantiles_rollup(
+                shards, [0.5], group_by="event_type"
+            ).collect()
+        }
+        raw = events.select("event_type", "value").collect()
+        for et, med in got.items():
+            vals = np.sort(np.array([r[1] for r in raw if r[0] == et]))
+            lo = vals[int(0.45 * (len(vals) - 1))]
+            hi = vals[int(0.55 * (len(vals) - 1))]
+            assert lo <= med <= hi, (et, med, lo, hi)
+
+    def test_quantiles_rollup_rejects_hll_cells(self, events):
+        from hyperloglog_spark import quantiles_rollup
+
+        daily = hll_sketch_agg(events, "user_id", group_by="day")
+        with pytest.raises(Exception, match="KLL/t-digest"):
+            quantiles_rollup(daily, [0.5]).collect()
 
     def test_mixed_kind_group_raises(self, events):
         h = hll_sketch_agg(events, "user_id").collect()[0][0]
