@@ -230,6 +230,10 @@ Estimate is bit-identical at every level and both engines
 commutative, so parallelism cannot change the result.
 
 Reproduce: `python scripts/bench_scaling.py`
+
+Companion REAL multi-executor evidence (standalone cluster, separate
+executor JVMs, `spark-submit --py-files`, 2 vs 8 executors):
+`BENCH/CLUSTER.md` (`python scripts/bench_cluster.py`).
 """)
     print(json.dumps(result))
 
