@@ -108,6 +108,20 @@ def main() -> None:
             t(spark, "documents"), "text", "doc_id"),
     }
 
+    # stored-sketch rollup: persist per-(role, tool) HLL shards once, then
+    # answer the per-role query by merging cells — zero rescan of the
+    # transcripts rows (compare against hll_distinct_convs, which rescans)
+    from hyperloglog_spark import hll_rollup, hll_sketch_agg
+
+    shard_path = os.path.join(CACHE, f"sketch_shards_{int(n_turns)}")
+    if not os.path.exists(os.path.join(shard_path, "_SUCCESS")):
+        hll_sketch_agg(
+            trans, "conv_id", group_by=["role", "tool"]
+        ).write.mode("overwrite").parquet(shard_path)
+    stored = spark.read.parquet(shard_path)
+    queries["hll_rollup_convs_by_role"] = lambda: hll_rollup(
+        stored, group_by="role")
+
     timings: dict[str, float] = {}
     for name, make in queries.items():
         best = float("inf")
