@@ -9,8 +9,12 @@ from .frequency import cms_agg, cms_point_query_udf, cms_topk
 from .functions import (
     approx_distinct,
     hll_estimate_udf,
+    hll_jaccard_udf,
+    hll_merge_pair_udf,
     hll_merged_sketch,
     hll_sketch_agg,
+    register_sql_functions,
+    with_error_bounds,
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
 from .quantiles import approx_quantiles, kll_agg, tdigest_agg
@@ -27,12 +31,16 @@ __all__ = [
     "cms_point_query_udf",
     "cms_topk",
     "hll_estimate_udf",
+    "hll_jaccard_udf",
+    "hll_merge_pair_udf",
     "hll_merged_sketch",
     "hll_rollup",
     "hll_sketch_agg",
     "kll_agg",
     "merge_sketches",
     "quantiles_rollup",
+    "register_sql_functions",
+    "with_error_bounds",
     "tdigest_agg",
     "with_might_contain",
 ]

@@ -331,6 +331,68 @@ def hll_estimate_udf(sketches):
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def hll_merge_pair_udf(a, b):
+    """Row-wise merge of two sketch columns (NULL-absorbing: NULL ∪ x = x)."""
+    import pandas as pd
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None:
+            out.append(None if y is None else bytes(y))
+        elif y is None:
+            out.append(bytes(x))
+        else:
+            out.append(hll.merge(bytes(x), bytes(y)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def hll_jaccard_udf(a, b):
+    """Row-wise Jaccard similarity estimate of two sketch columns."""
+    import pandas as pd
+
+    return pd.Series(
+        [None if x is None or y is None
+         else hll.jaccard_estimate(bytes(x), bytes(y))
+         for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+def register_sql_functions(spark) -> None:
+    """Make the sketch surface reachable from plain ``spark.sql``:
+
+        SELECT role, hll_estimate(sketch) FROM stored_sketches
+        SELECT hll_estimate(hll_merge(a.sketch, b.sketch)) ...
+        SELECT hll_jaccard(a.sketch, b.sketch) ...
+
+    Aggregation itself stays in the DataFrame API (Python UDAFs are not
+    SQL-registrable); these cover the scalar read side over stored rows.
+    """
+    spark.udf.register("hll_estimate", hll_estimate_udf)
+    spark.udf.register("hll_merge", hll_merge_pair_udf)
+    spark.udf.register("hll_jaccard", hll_jaccard_udf)
+
+
+def with_error_bounds(
+    df: DataFrame,
+    est_col: str = "approx_distinct",
+    p: int = hll.DEFAULT_P,
+    k: float = 3.0,
+) -> DataFrame:
+    """Append ``{est_col}_lo`` / ``{est_col}_hi`` — the k-sigma interval
+    from the published bound std-err = 1.04/√m
+    (/root/reference/HyperLogLog/HyperLogLog.cs:93-98). Pure JVM column
+    arithmetic, no UDF."""
+    se = k * hll.error_bound(p)
+    c = F.col(est_col)
+    return df.withColumn(
+        f"{est_col}_lo",
+        F.greatest(F.floor(c * (1.0 - se)).cast("long"), F.lit(0)),
+    ).withColumn(f"{est_col}_hi", F.ceil(c * (1.0 + se)).cast("long"))
+
+
 # ------------------------------------------------------- packed-binary ingest
 
 
