@@ -129,6 +129,17 @@ def q_hll_set_algebra_users(spark, sf_dir):
     )
 
 
+def q_cms_rollup_top_event_types(spark, sf_dir):
+    """Heavy hitters from STORED shards: per-day (CMS + candidate list)
+    rows merged and re-ranked with zero data rescan (candidate union ∪
+    merged-sketch point query). Exact here (value space << width)."""
+    from hyperloglog_spark.frequency import cms_topk_rollup, cms_topk_shards
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    shards = cms_topk_shards(ev, "event_type", shard_by="day")
+    return cms_topk_rollup(shards, "event_type", k=5)
+
+
 def q_hll_packed_binary(spark, sf_dir):
     """AddAs* packed-binary ingest: document texts as utf-8 byte buffers
     reinterpreted as packed int32 values, approximate distinct of the
@@ -328,6 +339,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_packed_binary": q_hll_packed_binary,
     "hll_rollup_event_users": q_hll_rollup_event_users,
     "hll_set_algebra_users": q_hll_set_algebra_users,
+    "cms_rollup_top_event_types": q_cms_rollup_top_event_types,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -383,6 +395,9 @@ _ORACLES: dict[str, str] = {
         "SELECT event_type, count(*) AS approx_count FROM events "
         "GROUP BY event_type ORDER BY approx_count DESC, event_type "
         "LIMIT 20",
+    "cms_rollup_top_event_types":
+        "SELECT event_type, count(*) AS approx_count FROM events "
+        "GROUP BY event_type ORDER BY approx_count DESC, event_type LIMIT 5",
     "cms_top5_partkeys":
         "SELECT l_partkey, count(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey ORDER BY approx_count DESC, l_partkey LIMIT 5",

@@ -25,7 +25,14 @@ from .engine.aggregate import SketchAggregator, sketch_agg
 from .functions import _drop_null_rows, _to_numpy_u64
 from .sketch import cms
 
-__all__ = ["CmsAggregator", "cms_agg", "cms_topk", "cms_point_query_udf"]
+__all__ = [
+    "CmsAggregator",
+    "cms_agg",
+    "cms_topk",
+    "cms_topk_shards",
+    "cms_topk_rollup",
+    "cms_point_query_udf",
+]
 
 
 class CmsAggregator(SketchAggregator):
@@ -190,3 +197,110 @@ def cms_topk(
         .applyInPandas(lambda pdf: merge_rank(pdf), out_schema)
         .orderBy(F.desc("approx_count"), F.asc(col))
     )
+
+
+def cms_topk_shards(
+    df: DataFrame,
+    col: str,
+    shard_by: str | list[str],
+    d: int = cms.DEFAULT_D,
+    log2_w: int = cms.DEFAULT_LOG2_W,
+    candidates_per_shard: int = 64,
+) -> DataFrame:
+    """The STORABLE unit for heavy hitters: one row per shard (e.g. per
+    day) holding that shard's CMS plus a bounded local-candidate list.
+    Persist these rows once; ``cms_topk_rollup`` answers top-k over any
+    union of shards with zero rescan. Any global heavy hitter is a local
+    heavy hitter in at least one shard when candidates_per_shard is sized
+    generously (>= 4k is the usual rule)."""
+    shard_by = [shard_by] if isinstance(shard_by, str) else list(shard_by)
+    src = _drop_null_rows(df, [col])
+    col_field = next(f for f in src.schema.fields if f.name == col)
+    proj = src.select(
+        *[F.col(c) for c in shard_by],
+        F.col(col).alias("__v"), F.xxhash64(col).alias("__h"),
+    )
+    shard_fields = [
+        f for f in src.schema.fields if f.name in shard_by
+    ]
+    out_schema = T.StructType(shard_fields + [
+        T.StructField("sketch", T.BinaryType(), False),
+        T.StructField("cand_v", T.ArrayType(col_field.dataType), False),
+        T.StructField("cand_h", T.ArrayType(T.LongType()), False),
+    ])
+    cpp = candidates_per_shard
+
+    def build(pdf):
+        import pandas as pd
+
+        h = pdf["__h"].to_numpy(dtype=np.int64).view(np.uint64)
+        sk = cms.from_hashes(h, d=d, log2_w=log2_w)
+        acc = (
+            pdf.groupby("__v", sort=False, as_index=False)
+            .agg(n=("__v", "size"), h=("__h", "first"))
+            .sort_values(["n", "__v"], ascending=[False, True])
+            .head(cpp)
+        )
+        row = {c: [pdf[c].iloc[0]] for c in shard_by}
+        row["sketch"] = [sk]
+        row["cand_v"] = [list(acc["__v"])]
+        row["cand_h"] = [[int(x) for x in acc["h"]]]
+        return pd.DataFrame(row)
+
+    return proj.groupBy(*shard_by).applyInPandas(build, out_schema)
+
+
+def cms_topk_rollup(
+    stored: DataFrame,
+    col: str,
+    k: int = 10,
+    group_by: str | list[str] | None = None,
+) -> DataFrame:
+    """Top-k heavy hitters from STORED ``cms_topk_shards`` rows (optionally
+    per coarser group): merge the shard sketches, union the candidate
+    lists, point-query each candidate against the merged CMS, rank. No
+    rescan of the data rows — the same zero-rescan contract as
+    ``rollup.merge_sketches``, plus candidate handling (a plain sketch
+    cannot enumerate values)."""
+    group_cols = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+    elem_type = next(
+        f.dataType for f in stored.schema.fields if f.name == "cand_v"
+    ).elementType
+    group_fields = [f for f in stored.schema.fields if f.name in group_cols]
+    out_schema = T.StructType(group_fields + [
+        T.StructField(col, elem_type, True),
+        T.StructField("approx_count", T.LongType(), False),
+    ])
+
+    def merge_rank(pdf):
+        import pandas as pd
+
+        merged = cms.merge_many([bytes(s) for s in pdf["sketch"]])
+        cand: dict[Any, int] = {}
+        for vs, hs in zip(pdf["cand_v"], pdf["cand_h"]):
+            for v, ch in zip(vs, hs):
+                cand[v] = int(ch)
+        values = list(cand.keys())
+        hashes = np.array(
+            [cand[v] for v in values], dtype=np.int64
+        ).view(np.uint64)
+        ests = cms.point_query(merged, hashes).astype(np.int64)
+        order = sorted(
+            range(len(values)), key=lambda i: (-int(ests[i]), values[i])
+        )[:k]
+        row = {c: [pdf[c].iloc[0]] * len(order) for c in group_cols}
+        row[col] = [values[i] for i in order]
+        row["approx_count"] = [int(ests[i]) for i in order]
+        return pd.DataFrame(row)
+
+    if group_cols:
+        out = stored.groupBy(*group_cols).applyInPandas(
+            merge_rank, out_schema)
+        return out.orderBy(
+            *group_cols, F.desc("approx_count"), F.asc(col))
+    tmp = stored.withColumn("__g", F.lit(1))
+    out = tmp.groupBy("__g").applyInPandas(
+        lambda pdf: merge_rank(pdf), out_schema)
+    return out.orderBy(F.desc("approx_count"), F.asc(col))

@@ -161,3 +161,46 @@ class TestOtherKinds:
         b = hll_sketch_agg(events, "user_id", p=14).collect()[0][0]
         with pytest.raises(ValueError):
             _merge_cells([bytes(a), bytes(b)])
+
+
+class TestCmsTopkRollup:
+    def test_rollup_matches_exact_topk(self, events):
+        from hyperloglog_spark.frequency import cms_topk_rollup, cms_topk_shards
+
+        shards = cms_topk_shards(events, "event_type", shard_by="day")
+        got = cms_topk_rollup(shards, "event_type", k=5).collect()
+        want = {
+            r[0]: r[1]
+            for r in events.groupBy("event_type").count().collect()
+        }
+        assert len(got) == 5
+        for r in got:
+            # value space far below sketch width -> point estimates exact
+            assert r["approx_count"] == want[r["event_type"]]
+        counts = [r["approx_count"] for r in got]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_shards_roundtrip_parquet_and_grouped_rollup(
+        self, events, spark, tmp_path
+    ):
+        from hyperloglog_spark.frequency import cms_topk_rollup, cms_topk_shards
+
+        shards = cms_topk_shards(
+            events, "user_id", shard_by=["event_type", "day"]
+        )
+        path = str(tmp_path / "cms_shards")
+        shards.write.parquet(path)
+        stored = spark.read.parquet(path)
+        got = cms_topk_rollup(
+            stored, "user_id", k=1, group_by="event_type"
+        ).collect()
+        exact_max = {
+            r[0]: r[1]
+            for r in events.groupBy("event_type", "user_id").count()
+            .groupBy("event_type").agg(F.max("count")).collect()
+        }
+        assert len(got) == 5
+        for r in got:
+            # CMS point estimates only overestimate; the true per-group max
+            # is a lower bound and candidates cover the argmax
+            assert r["approx_count"] >= exact_max[r["event_type"]]
