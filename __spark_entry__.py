@@ -129,6 +129,17 @@ def q_hll_set_algebra_users(spark, sf_dir):
     )
 
 
+def q_hll_multi_column_profile(spark, sf_dir):
+    """N per-column distinct counts in ONE scan (the ANALYZE-TABLE shape;
+    plan audited: single FileScan, single Exchange). Exact here (p=16
+    linear-counting regime)."""
+    from hyperloglog_spark import approx_distinct_multi
+
+    return approx_distinct_multi(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], p=16
+    )
+
+
 def q_cms_rollup_top_event_types(spark, sf_dir):
     """Heavy hitters from STORED shards: per-day (CMS + candidate list)
     rows merged and re-ranked with zero data rescan (candidate union ∪
@@ -340,6 +351,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_rollup_event_users": q_hll_rollup_event_users,
     "hll_set_algebra_users": q_hll_set_algebra_users,
     "cms_rollup_top_event_types": q_cms_rollup_top_event_types,
+    "hll_multi_column_profile": q_hll_multi_column_profile,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -374,6 +386,9 @@ _ORACLES: dict[str, str] = {
     "hll_rollup_event_users":
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
         "GROUP BY event_type ORDER BY event_type",
+    "hll_multi_column_profile":
+        "SELECT count(DISTINCT user_id) AS n_user_id, "
+        "count(DISTINCT event_type) AS n_event_type FROM events",
     "hll_set_algebra_users":
         "SELECT "
         "count(DISTINCT CASE WHEN event_type='click' THEN user_id END) "

@@ -8,6 +8,7 @@ for transcripts-scale tables (see SURVEY.md / BASELINE.json).
 from .frequency import cms_agg, cms_point_query_udf, cms_topk
 from .functions import (
     approx_distinct,
+    approx_distinct_multi,
     hll_estimate_udf,
     hll_jaccard_udf,
     hll_merge_pair_udf,
@@ -24,6 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "approx_distinct",
+    "approx_distinct_multi",
     "approx_quantiles",
     "bloom_agg",
     "bloom_build",

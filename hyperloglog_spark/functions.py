@@ -15,7 +15,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -391,6 +391,122 @@ def with_error_bounds(
         f"{est_col}_lo",
         F.greatest(F.floor(c * (1.0 - se)).cast("long"), F.lit(0)),
     ).withColumn(f"{est_col}_hi", F.ceil(c * (1.0 + se)).cast("long"))
+
+
+# ------------------------------------------------- multi-column single scan
+
+
+def _hll_packed_register_expr(col: Column | str, p: int) -> Column:
+    """JVM-side (idx << 7 | σ) packed-register expression for one column —
+    the shared kernel of HllAggregator/Multi (NULL in -> NULL out)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.xxhash64(c)
+    x = F.shiftleft(h, p)
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
+    sigma = F.lit(65) - F.bit_count(x)
+    idx = F.shiftrightunsigned(h, 64 - p)
+    packed = (F.shiftleft(idx, 7).bitwiseOR(sigma)).cast("int")
+    return F.when(c.isNotNull(), packed)
+
+
+def _pack_multi(sketches: list[bytes]) -> bytes:
+    import struct
+
+    parts = [b"MS", bytes([len(sketches)])]
+    for s in sketches:
+        parts.append(struct.pack("<I", len(s)))
+        parts.append(s)
+    return b"".join(parts)
+
+
+def _unpack_multi(buf: bytes) -> list[bytes]:
+    import struct
+
+    if buf[:2] != b"MS":
+        raise ValueError("not a multi-sketch envelope")
+    n, off, out = buf[2], 3, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        out.append(bytes(buf[off:off + ln]))
+        off += ln
+    return out
+
+
+class MultiHllAggregator(SketchAggregator):
+    """One HLL per column, ONE scan. The ANALYZE-TABLE shape: at 100 TB a
+    second pass costs more than every sketch combined, so N per-column
+    distinct counts must ride a single FileScan. Each partial row carries a
+    multi-sketch envelope (count + length-prefixed cells); merge is
+    component-wise, so the whole thing rides the standard two-phase
+    pipeline unchanged. Null semantics are per-column COUNT(DISTINCT c):
+    a NULL in one column drops that column's update only."""
+
+    name = "hll_multi"
+
+    def __init__(self, cols: list[str], p: int = hll.DEFAULT_P):
+        if not 4 <= p <= 16:
+            raise ValueError(f"precision p must be in [4, 16], got {p}")
+        if not cols:
+            raise ValueError("need at least one column")
+        self.cols = list(cols)
+        self.p = p
+        self.finalize_fields = [
+            T.StructField(f"n_{c}", T.LongType(), False) for c in self.cols
+        ]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        return [_hll_packed_register_expr(c, self.p) for c in cols]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        per_col: list[list[bytes]] = []
+        for i in range(len(self.cols)):
+            arr = values[f"__v{i}"]
+            c = codes
+            if arr.null_count:
+                mask = ~np.asarray(arr.is_null())
+                arr = arr.drop_null()
+                c = codes[mask]
+            packed = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            per_col.append(hll.group_from_registers(
+                c, packed >> 7, (packed & 127).astype(np.uint8),
+                n_groups, self.p,
+            ))
+        return [
+            _pack_multi([per_col[i][g] for i in range(len(self.cols))])
+            for g in range(n_groups)
+        ]
+
+    def merge_many(self, packs: list[bytes]) -> bytes:
+        comps = [_unpack_multi(bytes(b)) for b in packs]
+        return _pack_multi([
+            hll.merge_many([c[i] for c in comps])
+            for i in range(len(comps[0]))
+        ])
+
+    def finalize(self, pack: bytes) -> dict[str, Any]:
+        return {
+            f"n_{c}": hll.estimate(s)
+            for c, s in zip(self.cols, _unpack_multi(bytes(pack)))
+        }
+
+
+def approx_distinct_multi(
+    df: DataFrame,
+    cols: list[str],
+    group_by: str | list[str] | None = None,
+    p: int = hll.DEFAULT_P,
+) -> DataFrame:
+    """Per-column approximate distinct counts for ALL of ``cols`` in one
+    scan (columns ``n_<col>``, optionally per group). Estimates are
+    bit-identical to running approx_distinct per column — same registers,
+    one pass."""
+    group_by = (
+        [group_by] if isinstance(group_by, str) else list(group_by or [])
+    )
+    agg = MultiHllAggregator(cols, p=p)
+    return sketch_agg(df, cols, agg, group_by)
 
 
 # ------------------------------------------------------- packed-binary ingest
