@@ -63,7 +63,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hyperloglog_spark import transcripts as tq
-    from hyperloglog_spark import approx_distinct, approx_quantiles, cms_topk
+    from hyperloglog_spark import (
+        approx_distinct, approx_distinct_multi, approx_quantiles, cms_topk,
+    )
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
         brute_force_topk, near_dup_pairs, quality_score,
@@ -106,6 +108,9 @@ def main() -> None:
         ),
         "text_quality_docs": lambda: quality_score(
             t(spark, "documents"), "text", "doc_id"),
+        # 3 per-column distinct counts, ONE scan of the transcripts table
+        "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
+            trans, ["conv_id", "text", "tool"]),
     }
 
     # stored-sketch rollup: persist per-(role, tool) HLL shards once, then
