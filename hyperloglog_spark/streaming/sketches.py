@@ -165,3 +165,42 @@ def streaming_windowed_distinct(
         with_win, cols, "window_start", p=p, alias=alias
     )
     return out
+
+
+def sketch_shard_sink(
+    df: DataFrame,
+    cols: list[str] | str,
+    path: str,
+    checkpoint: str,
+    group_by: list[str] | str | None = None,
+    p: int = 14,
+):
+    """Continuous shard production: a ``foreachBatch`` sink that appends one
+    HLL sketch row per (group, micro-batch) to a parquet directory — the
+    streaming producer for ``rollup.hll_rollup`` / ``merge_sketches``.
+
+    Exactly-once WITHOUT transactional sinks: foreachBatch is at-least-once
+    under recovery (a replayed batch appends duplicate shard rows), but the
+    register-max merge is IDEMPOTENT — merging a shard twice is a no-op —
+    so estimates from rolling up the stored rows are exact regardless of
+    replay (asserted in tests). ``batch_id`` is recorded per row for
+    lineage/debugging, not for dedup.
+
+    Returns the started StreamingQuery's writer — call
+    ``.trigger(...).start()`` (or ``.trigger(availableNow=True)``) on it.
+    """
+    from ..functions import hll_sketch_agg
+
+    key_cols = [cols] if isinstance(cols, str) else list(cols)
+    groups = [group_by] if isinstance(group_by, str) else list(group_by or [])
+
+    def write_batch(bdf, bid: int) -> None:
+        if not bdf.isEmpty():
+            (hll_sketch_agg(bdf, key_cols, group_by=groups, p=p)
+             .withColumn("batch_id", F.lit(bid))
+             .write.mode("append").parquet(path))
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )

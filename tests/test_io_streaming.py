@@ -188,3 +188,49 @@ def test_streaming_windowed_distinct(spark, tmp_path):
     got = {r["w"]: r["n"]
            for r in spark.sql("SELECT w, n FROM sink_w").collect()}
     assert got == want
+
+
+def test_sketch_shard_sink_rollup_and_replay_idempotence(spark, tmp_path):
+    from hyperloglog_spark import hll_rollup
+    from hyperloglog_spark.streaming import sketch_shard_sink
+
+    src = str(tmp_path / "in")
+    gen.write(src, n_turns=20_000, n_convs=1_500, seed=13, n_files=4)
+    batch = spark.read.parquet(src)
+    shards_path = str(tmp_path / "shards")
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        sketch_shard_sink(
+            stream, "conv_id", shards_path, str(tmp_path / "ck"),
+            group_by="role",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    stored = spark.read.parquet(shards_path)
+    got = {
+        r["role"]: r["n"]
+        for r in hll_rollup(stored, group_by="role", alias="n").collect()
+    }
+    want = {
+        r["role"]: r["n"]
+        for r in approx_distinct(
+            batch, "conv_id", group_by="role", alias="n"
+        ).collect()
+    }
+    assert got == want
+
+    # at-least-once replay: duplicate EVERY shard row; estimates must not
+    # move (register-max merge is idempotent)
+    stored.write.mode("append").parquet(shards_path)
+    doubled = spark.read.parquet(shards_path)
+    assert doubled.count() == 2 * stored.count()
+    got2 = {
+        r["role"]: r["n"]
+        for r in hll_rollup(doubled, group_by="role", alias="n").collect()
+    }
+    assert got2 == want
