@@ -139,6 +139,25 @@ def main() -> None:
                     if t < best[c][eng]:
                         best[c][eng] = t
 
+    # Two honest statistics per pair:
+    # - merged-min efficiency: per-level minima across all runs. Conservative
+    #   for ratios — the quietest window for the N side is precisely the one
+    #   with least contention, so this DROPS as more runs accumulate.
+    # - best same-run efficiency: both levels measured inside ONE run's
+    #   noise window (the interleaving guarantees adjacency) — the truer
+    #   scaling measure on a shared host.
+    same_run: dict[tuple, float] = {}
+    with open(runs_log) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("n_turns") != n:
+                continue
+            for lo, hi in ((2, 8), (8, 32)):
+                for eng in ("arrow", "jvm"):
+                    e = (rec[str(lo)][eng] / rec[str(hi)][eng]) / (hi / lo)
+                    k = (eng, lo, hi)
+                    same_run[k] = max(same_run.get(k, 0.0), e)
+
     def pair(eng: str, lo: int, hi: int) -> dict:
         speed = best[lo][eng] / best[hi][eng]
         return {
@@ -148,6 +167,7 @@ def main() -> None:
                            "rows_per_sec": int(n / best[hi][eng])},
             "speedup": round(speed, 3),
             "scaling_efficiency": round(speed / (hi / lo), 3),
+            "best_same_run_efficiency": round(same_run[(eng, lo, hi)], 3),
         }
 
     result = {
@@ -171,7 +191,10 @@ def main() -> None:
             f"| local[{hi}] (4N) | {pr[f'local{hi}']['sec']} | "
             f"{pr[f'local{hi}']['rows_per_sec']:,} |\n\n"
             f"**Speedup:** {pr['speedup']}x of 4x — "
-            f"**efficiency {pr['scaling_efficiency']}**\n"
+            f"**efficiency {pr['scaling_efficiency']}** (per-level minima "
+            f"across runs); **best same-run efficiency "
+            f"{pr['best_same_run_efficiency']}** (both levels inside one "
+            f"noise window)\n"
         )
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
