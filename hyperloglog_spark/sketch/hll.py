@@ -260,6 +260,51 @@ def merge(a: bytes, b: bytes) -> bytes:
     return merge_many([a, b])
 
 
+def fold(sketch: bytes, p_target: int) -> bytes:
+    """EXACTLY downgrade a sketch to a lower precision from register state
+    alone — no rehash, no data. For hash h, the d = p − p' index bits that
+    p' no longer consumes become the leading suffix bits, so each register
+    (idx, σ) maps deterministically:
+
+        b = idx & (2^d − 1)          # the dropped index bits
+        idx' = idx >> d
+        σ'   = σ + d                 if b == 0   (suffix gains d zero bits)
+             = d − bit_length(b) + 1 otherwise   (b's top 1-bit decides)
+
+    σ' is monotone in σ (b==0) or σ-independent (b≠0), so folding register
+    MAXIMA yields exactly the register maxima of a direct p'-precision
+    build over the same hashes: ``fold(from_hashes(h, p), p') ==
+    from_hashes(h, p')`` byte-for-byte (asserted in tests). The practical
+    use is merging sketches of mixed precision: fold the finer one down,
+    then merge. (The reference hard-rejects mixed-m merges,
+    /root/reference/HyperLogLog/HyperLogLog.cs:740-744; folding is the
+    standard library extension that makes them lawful.)"""
+    p = precision(sketch)
+    _validate_p(p_target)
+    if p_target == p:
+        return bytes(sketch)
+    if p_target > p:
+        raise ValueError(
+            f"can only fold DOWN: sketch has p={p}, target {p_target}"
+        )
+    d = p - p_target
+    _, idx, rank = _sparse_pairs(sketch)
+    if len(idx) == 0:
+        return _serialize(p_target, idx, rank)
+    b = idx & ((1 << d) - 1)
+    idx2 = idx >> d
+    # bit_length(b) for b>=1 is the frexp exponent (exact: b < 2^16 << 2^53)
+    blen = np.frexp(b.astype(np.float64))[1]
+    sigma2 = np.where(
+        b == 0, rank.astype(np.int64) + d, d - blen + 1
+    ).astype(np.uint8)
+    # idx is sorted and idx2 = idx >> d preserves order: segment-max per idx2
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(idx2)) + 1))
+    return _serialize(
+        p_target, idx2[starts], np.maximum.reduceat(sigma2, starts)
+    )
+
+
 # ---------------------------------------------------------------- estimate
 
 

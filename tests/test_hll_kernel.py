@@ -232,3 +232,52 @@ class TestGrouped:
             rng_hashes(103, 2), 4 + 1, 14)
         assert hll.estimate(grouped[0]) == 0
         assert hll.estimate(grouped[2]) == 2
+
+
+class TestFold:
+    """Precision folding: exact downgrade from register state alone."""
+
+    def test_fold_equals_direct_build(self):
+        rng = np.random.default_rng(77)
+        h = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
+        for p_hi, p_lo in [(16, 14), (14, 10), (16, 4), (12, 11)]:
+            folded = hll.fold(hll.from_hashes(h, p_hi), p_lo)
+            direct = hll.from_hashes(h, p_lo)
+            assert folded == direct, (p_hi, p_lo)
+
+    def test_fold_small_sparse(self):
+        rng = np.random.default_rng(5)
+        h = rng.integers(0, 2**64, 50, dtype=np.uint64)
+        assert hll.fold(hll.from_hashes(h, 16), 12) == hll.from_hashes(h, 12)
+
+    def test_fold_empty_and_identity(self):
+        e = hll.empty(16)
+        assert hll.precision(hll.fold(e, 10)) == 10
+        assert hll.estimate(hll.fold(e, 10)) == 0
+        s = hll.from_hashes(
+            np.arange(100, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15), 14
+        )
+        assert hll.fold(s, 14) == s
+
+    def test_fold_up_raises(self):
+        with pytest.raises(ValueError, match="fold DOWN"):
+            hll.fold(hll.empty(12), 14)
+
+    def test_fold_commutes_with_merge(self):
+        rng = np.random.default_rng(9)
+        a = hll.from_hashes(
+            rng.integers(0, 2**64, 30_000, dtype=np.uint64), 16)
+        b = hll.from_hashes(
+            rng.integers(0, 2**64, 30_000, dtype=np.uint64), 16)
+        assert hll.fold(hll.merge(a, b), 12) == \
+            hll.merge(hll.fold(a, 12), hll.fold(b, 12))
+
+    def test_mixed_precision_merge_via_fold(self):
+        rng = np.random.default_rng(3)
+        h1 = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+        h2 = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+        a16 = hll.from_hashes(h1, 16)
+        b14 = hll.from_hashes(h2, 14)
+        merged = hll.merge(hll.fold(a16, 14), b14)
+        direct = hll.from_hashes(np.concatenate([h1, h2]), 14)
+        assert merged == direct
