@@ -48,13 +48,18 @@ _MERGERS = {
 }
 
 
-def _merge_cells(sketches: list[bytes]) -> bytes:
+def _merge_cells(sketches: list[bytes], fold_to: int | None = None) -> bytes:
     kinds = {codec.sketch_kind(s) for s in sketches}
     if len(kinds) != 1:
         raise ValueError(
             f"cannot merge mixed sketch kinds in one group: {sorted(kinds)}"
         )
-    return _MERGERS[kinds.pop()](sketches)
+    kind = kinds.pop()
+    if fold_to is not None:
+        if kind != codec.KIND_HLL:
+            raise ValueError("fold_to applies to HLL cells only")
+        sketches = [hll.fold(s, fold_to) for s in sketches]
+    return _MERGERS[kind](sketches)
 
 
 def merge_sketches(
@@ -62,6 +67,7 @@ def merge_sketches(
     sketch_col: str = SKETCH_COL,
     group_by: str | list[str] | None = None,
     alias: str = SKETCH_COL,
+    fold_to: int | None = None,
 ) -> DataFrame:
     """Merge a BinaryType sketch column per group (global when no group).
 
@@ -69,6 +75,10 @@ def merge_sketches(
     a group with only NULLs is dropped (grouped-aggregation convention,
     same as the build path on empty input). Works for every sketch kind
     the codec knows — kind is read from the cell envelope.
+
+    ``fold_to=p`` (HLL only) exactly folds every cell down to precision p
+    before merging — for stores whose shards were written at different
+    precisions over time (see ``sketch.hll.fold``).
     """
     group_cols = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
@@ -108,7 +118,7 @@ def merge_sketches(
                 prev = acc.get(key)
                 if prev is not None:
                     sks.append(prev)
-                acc[key] = _merge_cells(sks)
+                acc[key] = _merge_cells(sks, fold_to)
         if not acc:
             return
         keys = list(acc.keys())
@@ -137,7 +147,7 @@ def merge_sketches(
     def merge_group(pdf):
         import pandas as pd
 
-        merged = _merge_cells([bytes(s) for s in pdf[SKETCH_COL]])
+        merged = _merge_cells([bytes(s) for s in pdf[SKETCH_COL]], fold_to)
         row = {c: [pdf[c].iloc[0]] for c in key_cols}
         row[alias] = [merged]
         return pd.DataFrame(row)
@@ -153,16 +163,19 @@ def hll_rollup(
     sketch_col: str = SKETCH_COL,
     group_by: str | list[str] | None = None,
     alias: str = "approx_distinct",
+    fold_to: int | None = None,
 ) -> DataFrame:
     """Roll stored HLL sketches up to coarser groups and estimate.
 
     ``hll_rollup(daily, group_by="event_type")`` over per-(event_type, day)
     sketch rows gives the same estimates as sketching the raw rows per
-    event_type — byte-identical registers, zero data rescan.
+    event_type — byte-identical registers, zero data rescan. ``fold_to=p``
+    exactly folds mixed-precision shards to p first.
     """
     from .functions import hll_estimate_udf
 
-    merged = merge_sketches(df, sketch_col, group_by, alias="__sk")
+    merged = merge_sketches(df, sketch_col, group_by, alias="__sk",
+                            fold_to=fold_to)
     group_cols = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )

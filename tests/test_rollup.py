@@ -204,3 +204,25 @@ class TestCmsTopkRollup:
             # CMS point estimates only overestimate; the true per-group max
             # is a lower bound and candidates cover the argmax
             assert r["approx_count"] >= exact_max[r["event_type"]]
+
+
+class TestFoldTo:
+    def test_mixed_precision_store_rolls_up_with_fold(self, events, spark):
+        # shards written at different precisions over time (p=16 era, then
+        # p=14 era) roll up exactly after folding to the coarser precision
+        old_era = hll_sketch_agg(
+            events.filter(F.col("event_type") == "click"), "user_id", p=16
+        ).withColumn("era", F.lit("old"))
+        new_era = hll_sketch_agg(
+            events.filter(F.col("event_type") != "click"), "user_id", p=14
+        ).withColumn("era", F.lit("new"))
+        store = old_era.unionByName(new_era)
+        got = hll_rollup(store, fold_to=14).collect()[0][0]
+        want = approx_distinct(events, "user_id", p=14).collect()[0][0]
+        assert got == want
+
+    def test_without_fold_mixed_precision_fails(self, events):
+        a = hll_sketch_agg(events, "user_id", p=16)
+        b = hll_sketch_agg(events, "user_id", p=14)
+        with pytest.raises(Exception, match="precision"):
+            merge_sketches(a.unionByName(b)).collect()
