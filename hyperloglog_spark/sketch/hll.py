@@ -295,8 +295,12 @@ def fold(sketch: bytes, p_target: int) -> bytes:
     idx2 = idx >> d
     # bit_length(b) for b>=1 is the frexp exponent (exact: b < 2^16 << 2^53)
     blen = np.frexp(b.astype(np.float64))[1]
+    # σ = 65 is the SATURATED all-zero-suffix value (clz64(0) == 64, LZCNT
+    # semantics): prepending d more zero bits keeps it saturated at 65 —
+    # only finite ranks shift by d.
+    r = rank.astype(np.int64)
     sigma2 = np.where(
-        b == 0, rank.astype(np.int64) + d, d - blen + 1
+        b == 0, np.where(r == 65, r, r + d), d - blen + 1
     ).astype(np.uint8)
     # idx is sorted and idx2 = idx >> d preserves order: segment-max per idx2
     starts = np.concatenate(([0], np.flatnonzero(np.diff(idx2)) + 1))

@@ -281,3 +281,12 @@ class TestFold:
         merged = hll.merge(hll.fold(a16, 14), b14)
         direct = hll.from_hashes(np.concatenate([h1, h2]), 14)
         assert merged == direct
+
+
+    def test_fold_degenerate_all_zero_suffix(self):
+        # h == 0: sigma saturates at 65 (clz64(0) == 64) at EVERY p, so
+        # folding must keep 65, not add d (hypothesis-found regression)
+        h = np.zeros(1, dtype=np.uint64)
+        for p_hi, p_lo in [(5, 4), (16, 4), (14, 10)]:
+            assert hll.fold(hll.from_hashes(h, p_hi), p_lo) == \
+                hll.from_hashes(h, p_lo)

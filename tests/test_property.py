@@ -148,3 +148,16 @@ def test_skewed_group_bounded_partials(spark):
     assert len(per_group["hot"]) <= 8          # ≤ one partial per partition
     # hot sketch is dense-capped at 16 KB + header, never larger
     assert max(per_group["hot"]) <= (1 << 14) + 16
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=u64_arrays,
+    p_hi=st.integers(min_value=5, max_value=16),
+    d=st.integers(min_value=1, max_value=8),
+)
+def test_fold_equals_direct_build_property(vals, p_hi, d):
+    p_lo = max(4, p_hi - d)
+    hi = hll.from_hashes(vals, p_hi) if len(vals) else hll.empty(p_hi)
+    direct = hll.from_hashes(vals, p_lo) if len(vals) else hll.empty(p_lo)
+    assert hll.fold(hi, p_lo) == direct
