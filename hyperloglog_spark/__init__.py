@@ -10,6 +10,7 @@ from .functions import (
     approx_distinct,
     approx_distinct_multi,
     hll_estimate_udf,
+    hll_fold_udf,
     hll_jaccard_udf,
     hll_merge_pair_udf,
     hll_merged_sketch,
@@ -33,6 +34,7 @@ __all__ = [
     "cms_point_query_udf",
     "cms_topk",
     "hll_estimate_udf",
+    "hll_fold_udf",
     "hll_jaccard_udf",
     "hll_merge_pair_udf",
     "hll_merged_sketch",

@@ -347,6 +347,17 @@ def hll_merge_pair_udf(a, b):
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def hll_fold_udf(sketches, p_target):
+    """Row-wise exact precision downgrade (see sketch.hll.fold)."""
+    import pandas as pd
+
+    return pd.Series(
+        [None if s is None else hll.fold(bytes(s), int(p))
+         for s, p in zip(sketches, p_target)],
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def hll_jaccard_udf(a, b):
     """Row-wise Jaccard similarity estimate of two sketch columns."""
@@ -373,6 +384,7 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_estimate", hll_estimate_udf)
     spark.udf.register("hll_merge", hll_merge_pair_udf)
     spark.udf.register("hll_jaccard", hll_jaccard_udf)
+    spark.udf.register("hll_fold", hll_fold_udf)
 
 
 def with_error_bounds(

@@ -105,3 +105,14 @@ class TestErrorBounds:
         # engine's existing python stages, no extra Eval for the bounds
         assert plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") \
             <= 1  # the jvm engine's single applyInPandas estimate stage
+
+
+class TestSqlFold:
+    def test_hll_fold_from_sql(self, spark, events, stored):
+        p16 = hll_sketch_agg(events, "user_id", p=16)
+        p16.createOrReplaceTempView("p16_sketches")
+        got = spark.sql(
+            "SELECT hll_estimate(hll_fold(sketch, 14)) FROM p16_sketches"
+        ).collect()[0][0]
+        want = approx_distinct(events, "user_id", p=14).collect()[0][0]
+        assert got == want
