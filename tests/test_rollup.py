@@ -226,3 +226,22 @@ class TestFoldTo:
         b = hll_sketch_agg(events, "user_id", p=14)
         with pytest.raises(Exception, match="precision"):
             merge_sketches(a.unionByName(b)).collect()
+
+
+class TestBloomRollup:
+    def test_merged_shards_have_zero_false_negatives(self, events):
+        from hyperloglog_spark.membership import bloom_agg, with_might_contain
+
+        shards = bloom_agg(events, "user_id", group_by="day")
+        merged = bytes(merge_sketches(shards).collect()[0][0])
+        probed = with_might_contain(events, "user_id", merged)
+        misses = probed.filter(~F.col("might_contain")).count()
+        assert misses == 0        # Bloom guarantee: no false negatives
+
+    def test_merged_shards_byte_identical_to_direct(self, events):
+        from hyperloglog_spark.membership import bloom_agg
+
+        shards = bloom_agg(events, "user_id", group_by="day")
+        rolled = bytes(merge_sketches(shards).collect()[0][0])
+        direct = bytes(bloom_agg(events, "user_id").collect()[0][0])
+        assert rolled == direct   # bitset OR is associative + commutative
