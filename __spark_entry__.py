@@ -140,6 +140,19 @@ def q_hll_multi_column_profile(spark, sf_dir):
     )
 
 
+def q_hll_bounded_event_users(spark, sf_dir):
+    """Estimate with its published 3-sigma interval columns
+    (with_error_bounds: pure JVM arithmetic, se = 3·1.04/√m). Exact
+    estimate here (p=16 LC regime), so the oracle mirrors the identical
+    double arithmetic on the exact count."""
+    from hyperloglog_spark import approx_distinct, with_error_bounds
+
+    est = approx_distinct(
+        _t(spark, sf_dir, "events"), "user_id", p=16, alias="n_users"
+    )
+    return with_error_bounds(est, "n_users", p=16)
+
+
 def q_cms_rollup_top_event_types(spark, sf_dir):
     """Heavy hitters from STORED shards: per-day (CMS + candidate list)
     rows merged and re-ranked with zero data rescan (candidate union ∪
@@ -352,6 +365,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_set_algebra_users": q_hll_set_algebra_users,
     "cms_rollup_top_event_types": q_cms_rollup_top_event_types,
     "hll_multi_column_profile": q_hll_multi_column_profile,
+    "hll_bounded_event_users": q_hll_bounded_event_users,
     "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
     "hll_distinct_customers": q_hll_distinct_customers,
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
@@ -389,6 +403,13 @@ _ORACLES: dict[str, str] = {
     "hll_multi_column_profile":
         "SELECT count(DISTINCT user_id) AS n_user_id, "
         "count(DISTINCT event_type) AS n_event_type FROM events",
+    "hll_bounded_event_users":
+        "SELECT n_users, "
+        "GREATEST(CAST(FLOOR(n_users * (1.0 - 3.0*(1.04/sqrt(65536)))) "
+        "AS BIGINT), 0) AS n_users_lo, "
+        "CAST(CEIL(n_users * (1.0 + 3.0*(1.04/sqrt(65536)))) AS BIGINT) "
+        "AS n_users_hi FROM "
+        "(SELECT count(DISTINCT user_id) AS n_users FROM events)",
     "hll_set_algebra_users":
         "SELECT "
         "count(DISTINCT CASE WHEN event_type='click' THEN user_id END) "
