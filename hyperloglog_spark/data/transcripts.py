@@ -111,6 +111,7 @@ def write(
     n_convs: int,
     seed: int = 42,
     n_files: int = 8,
+    chunk_turns: int = 4_000_000,
 ) -> str:
     """Write a multi-file parquet directory; returns the path.
 
@@ -120,15 +121,19 @@ def write(
     os.makedirs(path, exist_ok=True)
     # generate in <=4M-turn chunks with disjoint conv-id namespaces: one
     # shot at 64M turns overflows Arrow's int32 string offsets
-    CHUNK = 4_000_000
+    CHUNK = chunk_turns
     n_chunks = -(-n_turns // CHUNK)
     file_i = 0
     files_per_chunk = -(-n_files // n_chunks)
+    convs_so_far = 0  # accumulated offset: chunk conv-id namespaces must be
+    # disjoint even when the last chunk is smaller (a per-chunk ci*convs_c
+    # offset would overlap earlier ranges and shrink the distinct-conv count)
     for ci in range(n_chunks):
         turns_c = min(CHUNK, n_turns - ci * CHUNK)
         convs_c = max(1, round(n_convs * turns_c / n_turns))
         tbl = generate(turns_c, convs_c, seed + ci * 7919,
-                       conv_offset=ci * convs_c)
+                       conv_offset=convs_so_far)
+        convs_so_far += convs_c
         rng = np.random.default_rng(seed + 1 + ci)
         tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
         k = min(files_per_chunk, n_files - (n_chunks - 1 - ci)) or 1

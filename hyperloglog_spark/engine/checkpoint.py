@@ -45,6 +45,22 @@ from .aggregate import SKETCH_COL, SketchAggregator, sketch_partials
 
 LINEAGE_DIR = "lineage"
 
+
+def _norm_path(p: str) -> str:
+    """Normalize a file path/URI to a bare path for identity comparison.
+
+    ``DataFrame.inputFiles()`` and ``F.input_file_name()`` render the same
+    file differently (``file:///x`` vs ``file:/x``, percent-encoding).
+    Matching must use the FULL normalized path — basenames collide routinely
+    (every partition directory of a Hive-style table holds part files with
+    identical names), and a basename match would silently commit one file's
+    sketch for another, dropping data from the estimate.
+    """
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    return unquote(u.path) if u.scheme else p
+
 _LINEAGE_SCHEMA = pa.schema([
     pa.field("run_id", pa.string()),
     pa.field("file", pa.string()),
@@ -154,17 +170,16 @@ def resumable_sketch_build(
         per_file: dict[str, list] = {}
         per_file_rows: dict[str, int] = {}
         for r in partial_rows:
-            per_file.setdefault(r["__file"], []).append(r[SKETCH_COL])
-            per_file_rows[r["__file"]] = (
-                per_file_rows.get(r["__file"], 0) + r["rows"]
-            )
+            k = _norm_path(r["__file"])
+            per_file.setdefault(k, []).append(r[SKETCH_COL])
+            per_file_rows[k] = per_file_rows.get(k, 0) + r["rows"]
         now = time.time_ns() // 1000
         out_rows = []
         for f in chunk:
-            # input_file_name returns a URI (file://...); match on suffix
-            key = next(
-                (k for k in per_file if k.endswith(os.path.basename(f))), None
-            )
+            # full-path identity (normalized URI), never basename: partition
+            # directories share part-file names
+            nf = _norm_path(f)
+            key = nf if nf in per_file else None
             if key is None:
                 continue  # empty file: nothing to sketch, re-listed next run
             sk = agg.merge_many(per_file[key])

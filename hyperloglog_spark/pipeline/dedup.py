@@ -31,8 +31,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: multiply-shift universal hashing for minhash perms
+# Mersenne prime 2^61-1: (a*s + b) mod M61 universal hashing for minhash perms
 _MERSENNE = np.uint64((1 << 61) - 1)
+_U32 = np.uint64(0xFFFFFFFF)
+_M29 = np.uint64((1 << 29) - 1)
 
 
 def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -40,6 +42,28 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
     return a, b
+
+
+def _mul_add_mod_m61(u: np.ndarray, a: np.uint64, b: np.uint64) -> np.ndarray:
+    """Exact ``(u*a + b) mod 2^61-1`` for u, a, b < 2^61 — the genuine
+    multiply-add universal family (collision prob <= 1/M61 per pair).
+
+    The 122-bit product is built from 32-bit limbs so every intermediate
+    fits uint64, then reduced with 2^61 ≡ 1 (mod M61): u*a = hi*2^64 +
+    mid*2^32 + lo ≡ 8*hi + (mid mod M61 split at bit 29) + (lo folded).
+    """
+    u1, u0 = u >> np.uint64(32), u & _U32
+    a1, a0 = a >> np.uint64(32), a & _U32
+    hi = u1 * a1                             # < 2^58
+    mid = u1 * a0 + u0 * a1                  # < 2^62
+    lo = u0 * a0                             # < 2^64, exact
+    mid_r = (mid & _MERSENNE) + (mid >> np.uint64(61))       # ≡ mid, < 2^61+2
+    mid_term = (mid_r >> np.uint64(29)) + ((mid_r & _M29) << np.uint64(32))
+    lo_r = (lo & _MERSENNE) + (lo >> np.uint64(61))
+    s = hi * np.uint64(8) + mid_term + lo_r + b              # < 2^63 + 2^61
+    s = (s & _MERSENNE) + (s >> np.uint64(61))
+    s = (s & _MERSENNE) + (s >> np.uint64(61))
+    return np.where(s >= _MERSENNE, s - _MERSENNE, s)
 
 
 # ------------------------------------------------------------ exact dedup
@@ -136,8 +160,7 @@ def minhash_signatures(
             nonempty = lens > 0
             red_starts = starts[nonempty]
             for j in range(len(a)):
-                h = (u * a[j] + b[j])
-                h = (h >> np.uint64(61)) + (h & _MERSENNE)  # fast mod M61
+                h = _mul_add_mod_m61(u, a[j], b[j])
                 if red_starts.size:
                     mins = np.minimum.reduceat(h, red_starts)
                 else:

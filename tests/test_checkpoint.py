@@ -132,3 +132,41 @@ def duck_exact(path: str) -> int:
     return duckdb.sql(
         f"SELECT count(DISTINCT conv_id) FROM '{path}/*.parquet'"
     ).fetchone()[0]
+
+
+def test_same_basename_files_in_partition_dirs(spark, tmp_path):
+    """Hive-style partition dirs hold part files with IDENTICAL basenames;
+    lineage matching must key on the full path or one file's data silently
+    vanishes from the estimate (ADVICE round 1)."""
+    root = str(tmp_path / "parts")
+    t1 = gen.generate(2_000, 300, seed=1)
+    t2 = gen.generate(2_000, 300, seed=2, conv_offset=300)
+    os.makedirs(f"{root}/day=1"), os.makedirs(f"{root}/day=2")
+    # SAME basename in both partition directories
+    pq.write_table(t1, f"{root}/day=1/part-00000.parquet")
+    pq.write_table(t2, f"{root}/day=2/part-00000.parquet")
+
+    ck = str(tmp_path / "ck-part")
+    res = resumable_sketch_build(
+        spark, root, "conv_id", HllAggregator(), ck, files_per_batch=2
+    )
+    assert res.files_total == 2
+    assert res.files_processed == 2
+    assert res.rows == 4_000
+    lin = read_lineage(ck)
+    assert lin.num_rows == 2
+    # each lineage row carries its OWN file's sketch: per-file estimates
+    # must reflect the disjoint conv namespaces (~300 each), and the merged
+    # estimate must cover all ~600 convs
+    per_file = lin.column("estimate").to_pylist()
+    assert all(200 < e < 400 for e in per_file), per_file
+    exact = duck_exact_glob(f"{root}/day=*")
+    assert abs(res.estimate - exact) / exact < 3 * 1.04 / 2 ** 7
+
+
+def duck_exact_glob(pattern: str) -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT count(DISTINCT conv_id) FROM '{pattern}/*.parquet'"
+    ).fetchone()[0]

@@ -254,3 +254,24 @@ def test_sample_frames(docs):
     assert frames.count() == n_video * 4          # 16 frames, every 4th
     assert frames.select(F.min("frame_idx")).first()[0] == 0
     assert frames.select(F.max("frame_idx")).first()[0] == 12
+
+
+def test_mul_add_mod_m61_exact():
+    """The minhash permutation hash is the genuine (a*u+b) mod 2^61-1 —
+    verified against Python big-int arithmetic on adversarial and random
+    inputs (ADVICE round 1: the old fold wrapped mod 2^64)."""
+    from hyperloglog_spark.pipeline.dedup import _MERSENNE, _mul_add_mod_m61
+
+    M = (1 << 61) - 1
+    rng = np.random.default_rng(99)
+    u = np.concatenate([
+        rng.integers(0, M, size=2_000, dtype=np.uint64),
+        np.array([0, 1, 2, M - 1, M - 2, 1 << 60, (1 << 61) - 1],
+                 dtype=np.uint64),
+    ])
+    for a, b in [(3, 7), (M - 1, M - 1), ((1 << 60) + 12345, 1 << 59),
+                 (0x1234567890ABCDEF % M, 0xFEDCBA987654321 % M)]:
+        got = _mul_add_mod_m61(u, np.uint64(a), np.uint64(b))
+        want = (u.astype(object) * a + b) % M
+        assert (got.astype(object) == want).all()
+        assert got.max() < np.uint64(M)

@@ -150,3 +150,29 @@ class TestFlagshipQueries:
             "text",
         )
         assert a == b
+
+
+def test_chunked_write_disjoint_conv_namespaces(tmp_path):
+    """Uneven trailing chunk must not reuse earlier conv-id ranges
+    (ADVICE round 1: per-chunk ci*convs_c offsets overlapped)."""
+    import duckdb
+
+    path = str(tmp_path / "chunked")
+    # 3 chunks of 400/400/200 turns -> conv targets 40/40/20
+    tgen.write(path, n_turns=1_000, n_convs=100, seed=5, n_files=3,
+               chunk_turns=400)
+    n_convs, n_rows = duckdb.sql(
+        f"SELECT count(DISTINCT conv_id), count(*) FROM '{path}/*.parquet'"
+    ).fetchone()
+    assert n_rows == 1_000
+    # disjoint namespaces: distinct convs ~= requested total (every chunk
+    # touches nearly all of its Zipf range at 10 turns/conv)
+    assert n_convs > 80, n_convs
+    # dense turn_idx per conv survives chunking: max(turn_idx)+1 == count
+    bad = duckdb.sql(
+        f"""SELECT count(*) FROM (
+             SELECT conv_id FROM '{path}/*.parquet'
+             GROUP BY conv_id HAVING max(turn_idx) + 1 <> count(*)
+                 OR count(DISTINCT turn_idx) <> count(*))"""
+    ).fetchone()[0]
+    assert bad == 0
