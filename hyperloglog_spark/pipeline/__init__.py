@@ -17,7 +17,7 @@ from .dedup import (
     simhash_near_dup_pairs,
     simhash_signatures,
 )
-from .similarity import brute_force_topk, lsh_topk
+from .similarity import blocked_topk, brute_force_topk, lsh_topk
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -29,6 +29,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "brute_force_topk",
+    "blocked_topk",
     "lsh_topk",
     "doc_fingerprints",
     "lang_id",

@@ -97,22 +97,41 @@ def exact_dedup(
 # ------------------------------------------------------- shingles (JVM)
 
 
-def shingle_hashes(text_col: str, shingle_len: int = 3) -> F.Column:
-    """``array<bigint>`` of xxhash64 over word ``shingle_len``-grams,
+def _hash_expr(inner: str, hashing: str) -> str:
+    """JVM-side 64-bit hash of a string expression.
+
+    "xxhash64" (default, fastest) or "md5" — the top 60 bits of md5, which
+    any ANSI engine can reproduce (DuckDB: ``('0x'||substr(md5(x),1,15))::
+    BIGINT``), making md5-hashed operators exactly SQL-oracle-checkable.
+    """
+    if hashing == "xxhash64":
+        return f"xxhash64({inner})"
+    if hashing == "md5":
+        return f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
+    raise ValueError(f"hashing must be 'xxhash64' or 'md5': {hashing!r}")
+
+
+def shingle_hashes(
+    text_col: str, shingle_len: int = 3, hashing: str = "xxhash64"
+) -> F.Column:
+    """``array<bigint>`` of 64-bit hashes over word ``shingle_len``-grams,
     distinct, computed entirely in whole-stage codegen."""
     toks = f"split({text_col}, ' ')"
     n = shingle_len
+    h_whole = _hash_expr(text_col, hashing)
+    h_sh = _hash_expr(f"concat_ws(' ', slice({toks}, i + 1, {n}))", hashing)
     # NB sequence(0, -1) DESCENDS in Spark — guard the short-text case
     return F.expr(
-        f"if(size({toks}) < {n}, array(xxhash64({text_col})), "
+        f"if(size({toks}) < {n}, array({h_whole}), "
         f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {n}))))))"
+        f"i -> {h_sh})))"
     )
 
 
-def token_hashes(text_col: str) -> F.Column:
-    """``array<bigint>`` xxhash64 per whitespace token (JVM-side)."""
-    return F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
+def token_hashes(text_col: str, hashing: str = "xxhash64") -> F.Column:
+    """``array<bigint>`` 64-bit hash per whitespace token (JVM-side)."""
+    h = _hash_expr("t", hashing)
+    return F.expr(f"transform(split({text_col}, ' '), t -> {h})")
 
 
 def _flat_lists(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -292,15 +311,17 @@ def near_dup_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, hashing: str = "xxhash64"
 ) -> DataFrame:
     """(id_col, simhash bigint): 64-bit SimHash over token hashes.
 
     Token hashing JVM-side; the bit-vote tally is one numpy pass per batch:
     unpack each token hash into 64 ±1 votes, ``np.add.reduceat`` per doc,
-    sign gives the signature bits.
+    sign gives the signature bits. ``hashing="md5"`` (60 effective bits)
+    makes the whole signature SQL-reproducible for oracle checks.
     """
-    proj = df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+    proj = df.select(F.col(id_col),
+                     token_hashes(text_col, hashing).alias("__th"))
     bits = np.arange(64, dtype=np.uint64)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -341,6 +362,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = 256,
+    hashing: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -351,7 +373,7 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, hashing)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

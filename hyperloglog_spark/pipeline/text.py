@@ -110,21 +110,32 @@ def doc_fingerprints(
     id_col: str,
     shingle_len: int = 3,
     bottom_k: int = 4,
+    hashing: str = "xxhash64",
 ) -> DataFrame:
-    """Bottom-k fingerprint: hash-fold of the ``bottom_k`` smallest shingle
+    """Bottom-k fingerprint: fold of the ``bottom_k`` smallest shingle
     hashes. Equal fingerprints ⇒ near-identical shingle prefixes — a cheap
     blocking key for dedup at scale (one bigint per doc, groupBy-able).
 
-    JVM-side end to end: shingle hashing, sort, slice, fold.
+    JVM-side end to end: shingle hashing, sort, slice, fold. The fold is an
+    xxhash64 chain by default; with ``hashing="md5"`` both the shingle hash
+    (top 60 md5 bits) and the fold (sum of the bottom_k — ≤ 4·2^60, no
+    overflow) are exactly reproducible in ANSI SQL, which is how the
+    driver's DuckDB oracle checks this operator.
     """
     from .dedup import shingle_hashes
 
-    sh = shingle_hashes(text_col, shingle_len)
+    sh = shingle_hashes(text_col, shingle_len, hashing=hashing)
     df2 = df.select(F.col(id_col), sh.alias("__sh"))
-    fp_col = F.expr(
-        f"aggregate(slice(array_sort(__sh), 1, {bottom_k}), "
-        "cast(0 as bigint), (acc, x) -> xxhash64(acc, x))"
-    )
+    if hashing == "md5":
+        fp_col = F.expr(
+            f"aggregate(slice(array_sort(__sh), 1, {bottom_k}), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    else:
+        fp_col = F.expr(
+            f"aggregate(slice(array_sort(__sh), 1, {bottom_k}), "
+            "cast(0 as bigint), (acc, x) -> xxhash64(acc, x))"
+        )
     return df2.select(
         F.col(id_col),
         fp_col.alias("fingerprint"),

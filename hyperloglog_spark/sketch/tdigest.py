@@ -100,8 +100,10 @@ def _deserialize(sketch: bytes):
 
 
 def empty(delta: int = DEFAULT_DELTA) -> bytes:
-    if not 20 <= delta <= 10000:
-        raise ValueError(f"delta must be in [20, 10000], got {delta}")
+    # upper bound = u16 codec field; large deltas are the exact-regime knob
+    # (every input stays a singleton centroid while n < 2*delta/pi)
+    if not 20 <= delta <= 65535:
+        raise ValueError(f"delta must be in [20, 65535], got {delta}")
     return _serialize(delta, 0, math.inf, -math.inf, np.empty(0), np.empty(0))
 
 

@@ -23,7 +23,8 @@ def test_jvm_engine_matches_arrow_grouped(spark, sf01_dir):
     a = {tuple(r)[:1]: r[-1] for r in approx_distinct(
         ev, "user_id", group_by="event_type", engine="arrow").collect()}
     j = {tuple(r)[:1]: r[-1] for r in approx_distinct(
-        ev, "user_id", group_by="event_type", engine="jvm").collect()}
+        ev, "user_id", group_by="event_type", engine="jvm",
+        expected_groups=8).collect()}
     assert a == j
 
 
@@ -41,7 +42,8 @@ def test_jvm_engine_shuffle_budget(spark, sf01_dir):
     from hyperloglog_spark.engine.plans import assert_max_exchanges
 
     ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
-    q = approx_distinct(ev, "user_id", group_by="event_type", engine="jvm")
+    q = approx_distinct(ev, "user_id", group_by="event_type", engine="jvm",
+                        expected_groups=8)
     # register agg (1, with map-side partial) + group finalize (1)
     assert_max_exchanges(q, 2)
 
@@ -168,8 +170,44 @@ def test_jvm_sketch_agg_bytes_identical(spark, sf01_dir):
     a = {r["event_type"]: bytes(r["sketch"]) for r in hll_sketch_agg(
         ev, "user_id", group_by="event_type", engine="arrow").collect()}
     j = {r["event_type"]: bytes(r["sketch"]) for r in hll_sketch_agg(
-        ev, "user_id", group_by="event_type", engine="jvm").collect()}
+        ev, "user_id", group_by="event_type", engine="jvm",
+        expected_groups=8).collect()}
     assert a == j
     ga = bytes(hll_sketch_agg(ev, "user_id", engine="arrow").first()["sketch"])
     gj = bytes(hll_sketch_agg(ev, "user_id", engine="jvm").first()["sketch"])
     assert ga == gj
+
+
+# -------------------------------------------------- grouped jvm scale guard
+
+
+def test_jvm_grouped_without_expected_groups_falls_back(spark, sf01_dir):
+    """VERDICT round 1 #4: unknown group cardinality must not run the jvm
+    register-row path (state = #groups x 2^p). Fallback result must still
+    be bit-identical (same registers either way)."""
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    fb = approx_distinct(ev, "user_id", group_by="event_type", engine="jvm")
+    # no ArrowEvalPython register scan: the arrow path's mapInArrow shows
+    # up instead of the jvm path's groupBy(__idx) aggregate
+    plan = fb._sc._jvm.PythonSQLUtils.explainString(
+        fb._jdf.queryExecution(), "formatted")
+    assert "__idx" not in plan
+    want = approx_distinct(
+        ev, "user_id", group_by="event_type", engine="arrow").collect()
+    assert sorted(map(tuple, fb.collect())) == sorted(map(tuple, want))
+
+
+def test_jvm_grouped_over_budget_raises(spark, sf01_dir):
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    with pytest.raises(ValueError, match="register rows"):
+        approx_distinct(ev, "user_id", group_by="event_type", engine="jvm",
+                        p=16, expected_groups=10_000_000)
+
+
+def test_jvm_grouped_within_budget_uses_jvm(spark, sf01_dir):
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    q = approx_distinct(ev, "user_id", group_by="event_type", engine="jvm",
+                        expected_groups=8)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "__idx" in plan

@@ -275,3 +275,43 @@ def test_mul_add_mod_m61_exact():
         want = (u.astype(object) * a + b) % M
         assert (got.astype(object) == want).all()
         assert got.max() < np.uint64(M)
+
+
+def test_lsh_topk_plan_is_fully_lazy(spark, monkeypatch):
+    """VERDICT round 1 #2: building the lsh_topk plan must not pull the
+    query set to the driver — no DataFrame.collect during construction."""
+    from pyspark.sql import DataFrame
+
+    rng = np.random.default_rng(3)
+    pdf = [(int(i), [float(x) for x in rng.standard_normal(16)])
+           for i in range(50)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 5)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("collect() during lsh_topk plan construction")
+
+    from hyperloglog_spark.pipeline import similarity as sim
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = sim.lsh_topk(df, q, "vec_id", "embedding", k=3, dim=16)
+    monkeypatch.undo()
+    assert len(plan.collect()) > 0
+
+
+def test_blocked_topk_matches_brute_force(spark):
+    """The large-query-set cogroup path is exact: identical output to the
+    broadcast matmul path, including permille tie-breaks."""
+    from hyperloglog_spark.pipeline import blocked_topk, brute_force_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 24)) * 2
+    pdf = [(int(i), [float(x) for x in centers[i % 10]
+                     + rng.standard_normal(24) * 0.2]) for i in range(300)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"]).repartition(7)
+    q = df.filter(F.col("vec_id") < 40)     # a large-ish query set
+    bf = sorted(map(tuple, brute_force_topk(
+        df, q, "vec_id", "embedding", k=4).collect()))
+    bl = sorted(map(tuple, blocked_topk(
+        df, q, "vec_id", "embedding", k=4, n_blocks=5).collect()))
+    assert bf == bl

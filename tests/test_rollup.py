@@ -49,7 +49,8 @@ class TestHllRollup:
 
     def test_rollup_estimates_match_build(self, events):
         daily = hll_sketch_agg(
-            events, "user_id", group_by=["event_type", "day"], engine="jvm"
+            events, "user_id", group_by=["event_type", "day"], engine="jvm",
+            expected_groups=64
         )
         got = {
             r["event_type"]: r["n_users"]
