@@ -60,9 +60,16 @@ def _compress(
         j = int(np.searchsorted(cw, base_w + limit, side="right")) - 1
         if j < start:
             j = start                       # first element always absorbed
-        seg_w = cw[j] - base_w
-        seg_s = cmw[j] - base_s
-        out_means.append(seg_s / seg_w)
+        if j == start:
+            # singleton segment: keep the input bit-exactly (the cumsum
+            # difference below can drift by an ulp) — this is what makes
+            # large-delta digests EXACT, not just close, below n ~ 2δ/π
+            seg_w = float(weights[start])
+            out_means.append(float(means[start]))
+        else:
+            seg_w = cw[j] - base_w
+            seg_s = cmw[j] - base_s
+            out_means.append(seg_s / seg_w)
         out_weights.append(seg_w)
         w_so_far += seg_w
         start = j + 1
