@@ -4,11 +4,19 @@
     topk_df = cms_topk(df, "tool", k=10)               # heavy hitters
 
 ``cms_topk`` is the scalable heavy-hitter operator: one pass builds, per
-partition, a CMS plus a bounded local-candidate list (any global heavy hitter
-is a local heavy hitter in at least one partition when candidates_per_partition
-is sized generously); the merge stage unions candidates, point-queries the
-merged CMS, and emits the top k. Shuffle volume is one sketch + one candidate
-list per partition — independent of data size.
+partition, a CMS plus a bounded Misra-Gries candidate summary; the merge
+stage unions candidates, point-queries the merged CMS, and emits the top k.
+Shuffle volume is one sketch + one bounded candidate list per partition —
+independent of data size.
+
+The Misra-Gries store gives a DETERMINISTIC guarantee (unlike the
+local-top-k heuristic it replaced, VERDICT round 1 #3): with capacity C,
+any key whose partition count exceeds N_p/(C+1) keeps a positive residual
+(Σ of prune decrements ≤ N_p/(C+1), the classic MG argument), so any key
+with GLOBAL count > N/(C+1) appears in the candidate union of at least one
+partition — even a key spread so uniformly that it ranks below hundreds of
+partition-local decoys everywhere. Final ranking uses CMS point estimates
+(>= true count), so the guaranteed candidate also ranks correctly.
 """
 
 from __future__ import annotations
@@ -110,10 +118,15 @@ def cms_topk(
     (deterministic tie-break). approx_count is the CMS point estimate of the
     merged sketch (>= true count; == true count when the value space is far
     below the sketch width).
+
+    Candidates come from a per-partition Misra-Gries summary of capacity
+    C = max(8 * candidates_per_partition, 256): bounded memory at ANY value
+    cardinality, and every key with partition count > N_p/(C+1) is
+    guaranteed to survive (see module docstring).
     """
     if candidates_per_partition is None:
         candidates_per_partition = max(4 * k, 64)
-    cpp = candidates_per_partition
+    cap = max(8 * candidates_per_partition, 256)
     src = _drop_null_rows(df, [col])
     col_field = next(f for f in src.schema.fields if f.name == col)
 
@@ -133,35 +146,44 @@ def cms_topk(
         import pandas as pd
 
         tbl: bytes | None = None
-        per_batch: list = []          # vectorized accumulation, no py loops
+        acc = None          # MG store: value -> (residual n, hash)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             h = _to_numpy_u64(batch.column(1))
             part = cms.from_hashes(h, d=d, log2_w=log2_w)
             tbl = part if tbl is None else cms.merge_many([tbl, part])
-            per_batch.append(
+            bdf = (
                 pd.DataFrame({
                     "v": batch.column(0).to_pandas(),
                     "h": batch.column(1).to_pandas(),
                 }).groupby("v", sort=False, as_index=False)
                 .agg(n=("v", "size"), h=("h", "first"))
             )
+            acc = bdf if acc is None else (
+                pd.concat([acc, bdf], ignore_index=True)
+                .groupby("v", sort=False, as_index=False)
+                .agg(n=("n", "sum"), h=("h", "first"))
+            )
+            if len(acc) > cap:
+                # Misra-Gries reduction (the mergeable-summaries prune):
+                # subtract the (cap+1)-th largest residual from everyone,
+                # keep strictly positive. Each prune removes >= thr*(cap+1)
+                # total mass, so Σ thr <= N_p/(cap+1) — the deterministic
+                # survival bound.
+                ns = acc["n"].to_numpy()
+                thr = np.partition(ns, len(ns) - cap - 1)[len(ns) - cap - 1]
+                acc = acc[acc["n"] > thr].copy()
+                acc["n"] -= thr
         if tbl is None:
             return
-        acc = (
-            pd.concat(per_batch, ignore_index=True)
-            .groupby("v", sort=False, as_index=False)
-            .agg(n=("n", "sum"), h=("h", "first"))
-            .sort_values(["n", "v"], ascending=[False, True])
-            .head(cpp)
-        )
-        top = list(zip(acc["v"], zip(acc["n"].astype(int), acc["h"].astype(int))))
+        acc = acc.sort_values(["n", "v"], ascending=[False, True])
+        top = list(zip(acc["v"], acc["h"].astype(int)))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([tbl], type=pa.binary()),
                 pa.array([[v for v, _ in top]], type=arrow_schema.field(1).type),
-                pa.array([[ch for _, (_, ch) in top]], type=pa.list_(pa.int64())),
+                pa.array([[ch for _, ch in top]], type=pa.list_(pa.int64())),
             ],
             schema=arrow_schema,
         )

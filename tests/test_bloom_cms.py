@@ -160,3 +160,38 @@ class TestCmsSpark:
         a = cms_topk(events.repartition(16), "user_id", k=10).collect()
         b = cms_topk(events.repartition(2), "user_id", k=10).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cms_topk_uniformly_spread_heavy_key(spark):
+    """VERDICT round 1 #3: a key spread uniformly across partitions, buried
+    below 100 partition-local decoys everywhere (old local-top-64 heuristic
+    dropped it), must surface — it is the GLOBAL top-1 by 24x."""
+    from hyperloglog_spark import cms_topk
+
+    rows = []
+    for p in range(32):
+        for dcy in range(100):              # partition-unique decoys
+            rows += [(p, f"decoy-{p:02d}-{dcy:03d}")] * 40
+        rows += [(p, "needle")] * 30        # local rank 101 everywhere
+    df = (spark.createDataFrame(rows, ["pkey", "v"])
+          .repartition(32, "pkey"))
+    top = cms_topk(df, "v", k=1).collect()
+    assert top[0]["v"] == "needle"
+    assert top[0]["approx_count"] >= 32 * 30    # CMS >= true count
+
+
+def test_cms_topk_bounded_store_high_cardinality(spark):
+    """The MG store prunes at capacity yet the true heavy hitter (far above
+    N_p/(C+1)) deterministically survives — and memory stays bounded at
+    any distinct-value cardinality (the old code accumulated every
+    distinct value per partition)."""
+    from hyperloglog_spark import cms_topk
+
+    import numpy as np
+    rng = np.random.default_rng(8)
+    tail = [(int(x),) for x in rng.integers(10_000, 2_000_000, size=120_000)]
+    heavy = [(7,)] * 9_000
+    df = spark.createDataFrame(heavy + tail, ["v"]).repartition(8)
+    top = cms_topk(df, "v", k=1, candidates_per_partition=32).collect()
+    assert top[0]["v"] == 7
+    assert top[0]["approx_count"] >= 9_000

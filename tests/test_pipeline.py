@@ -315,3 +315,41 @@ def test_blocked_topk_matches_brute_force(spark):
     bl = sorted(map(tuple, blocked_topk(
         df, q, "vec_id", "embedding", k=4, n_blocks=5).collect()))
     assert bf == bl
+
+
+def test_coalesce_for_payloads_uses_metadata_not_a_scan(spark, tmp_path,
+                                                        monkeypatch):
+    """VERDICT round 1 #6: sizing partitions for a file-backed table must
+    come from the file listing, never a sum(length(payload)) pass."""
+    from pyspark.sql import DataFrame
+
+    from hyperloglog_spark.pipeline.multimodal import (
+        coalesce_for_payloads, synthesize_assets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assets = synthesize_assets(docs, "text", "doc_id")
+    path = str(tmp_path / "assets")
+    assets.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("payload sizing ran a full aggregate scan")
+
+    monkeypatch.setattr(DataFrame, "agg", boom)
+    out = coalesce_for_payloads(stored, target_mb=1)
+    monkeypatch.undo()
+    assert out.rdd.getNumPartitions() >= 1
+    assert out.count() == docs.count()
+
+    # explicit total_bytes wins outright (catalog-stats path)
+    monkeypatch.setattr(DataFrame, "agg", boom)
+    out2 = coalesce_for_payloads(stored, total_bytes=300 * 1024 * 1024,
+                                 target_mb=64)
+    monkeypatch.undo()
+    assert out2.rdd.getNumPartitions() == 4
+
+    # in-memory frames (no input files) still fall back to the scan
+    mem = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100))], ["asset_id", "payload"])
+    assert coalesce_for_payloads(mem).rdd.getNumPartitions() == 1
