@@ -145,8 +145,28 @@ def cms_topk(
     def build(batches):
         import pandas as pd
 
+        def mg_prune(frames: list) -> list:
+            """Misra-Gries reduction (the mergeable-summaries prune): merge
+            the buffered count frames; past capacity, subtract the
+            (cap+1)-th largest residual from everyone and keep strictly
+            positive. Each prune removes >= thr*(cap+1) total mass, so
+            Σ thr <= N_p/(cap+1) — the deterministic survival bound."""
+            acc = (
+                pd.concat(frames, ignore_index=True)
+                .groupby("v", sort=False, as_index=False)
+                .agg(n=("n", "sum"), h=("h", "first"))
+            )
+            if len(acc) > cap:
+                ns = acc["n"].to_numpy()
+                thr = np.partition(ns, len(ns) - cap - 1)[len(ns) - cap - 1]
+                acc = acc[acc["n"] > thr].copy()
+                acc["n"] -= thr
+            return [acc]
+
         tbl: bytes | None = None
-        acc = None          # MG store: value -> (residual n, hash)
+        pending: list = []       # buffered count frames; merged amortized
+        pending_rows = 0
+        flush_at = max(8 * cap, 8192)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -160,23 +180,14 @@ def cms_topk(
                 }).groupby("v", sort=False, as_index=False)
                 .agg(n=("v", "size"), h=("h", "first"))
             )
-            acc = bdf if acc is None else (
-                pd.concat([acc, bdf], ignore_index=True)
-                .groupby("v", sort=False, as_index=False)
-                .agg(n=("n", "sum"), h=("h", "first"))
-            )
-            if len(acc) > cap:
-                # Misra-Gries reduction (the mergeable-summaries prune):
-                # subtract the (cap+1)-th largest residual from everyone,
-                # keep strictly positive. Each prune removes >= thr*(cap+1)
-                # total mass, so Σ thr <= N_p/(cap+1) — the deterministic
-                # survival bound.
-                ns = acc["n"].to_numpy()
-                thr = np.partition(ns, len(ns) - cap - 1)[len(ns) - cap - 1]
-                acc = acc[acc["n"] > thr].copy()
-                acc["n"] -= thr
+            pending.append(bdf)
+            pending_rows += len(bdf)
+            if pending_rows >= flush_at:     # amortize the MG merge
+                pending = mg_prune(pending)
+                pending_rows = len(pending[0])
         if tbl is None:
             return
+        acc = mg_prune(pending)[0]
         acc = acc.sort_values(["n", "v"], ascending=[False, True])
         top = list(zip(acc["v"], acc["h"].astype(int)))
         yield pa.RecordBatch.from_arrays(

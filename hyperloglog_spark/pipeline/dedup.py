@@ -31,39 +31,29 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: (a*s + b) mod M61 universal hashing for minhash perms
-_MERSENNE = np.uint64((1 << 61) - 1)
-_U32 = np.uint64(0xFFFFFFFF)
-_M29 = np.uint64((1 << 29) - 1)
+# MinHash permutation family: Dietzfelbinger multiply-shift,
+#   h_j(s) = ((a_j * s + b_j) mod 2^64) >> 3,   a_j odd
+# 2-approximately-universal on the kept top 61 bits (collision probability
+# <= 2/2^61 per pair — Dietzfelbinger, Hagerup, Katajainen, Penttonen 1997,
+# "A reliable randomized algorithm for the closest-pair problem"). The
+# mod-2^64 wraparound IS the family's arithmetic, not an approximation:
+# three vectorized uint64 ops per permutation, vs a ~20-op limb ladder for
+# a Mersenne-prime field multiply with the same practical guarantee.
+_SHIFT = np.uint64(3)
 
 
 def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    a = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64) * 4 + \
+        rng.integers(0, 4, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
-def _mul_add_mod_m61(u: np.ndarray, a: np.uint64, b: np.uint64) -> np.ndarray:
-    """Exact ``(u*a + b) mod 2^61-1`` for u, a, b < 2^61 — the genuine
-    multiply-add universal family (collision prob <= 1/M61 per pair).
-
-    The 122-bit product is built from 32-bit limbs so every intermediate
-    fits uint64, then reduced with 2^61 ≡ 1 (mod M61): u*a = hi*2^64 +
-    mid*2^32 + lo ≡ 8*hi + (mid mod M61 split at bit 29) + (lo folded).
-    """
-    u1, u0 = u >> np.uint64(32), u & _U32
-    a1, a0 = a >> np.uint64(32), a & _U32
-    hi = u1 * a1                             # < 2^58
-    mid = u1 * a0 + u0 * a1                  # < 2^62
-    lo = u0 * a0                             # < 2^64, exact
-    mid_r = (mid & _MERSENNE) + (mid >> np.uint64(61))       # ≡ mid, < 2^61+2
-    mid_term = (mid_r >> np.uint64(29)) + ((mid_r & _M29) << np.uint64(32))
-    lo_r = (lo & _MERSENNE) + (lo >> np.uint64(61))
-    s = hi * np.uint64(8) + mid_term + lo_r + b              # < 2^63 + 2^61
-    s = (s & _MERSENNE) + (s >> np.uint64(61))
-    s = (s & _MERSENNE) + (s >> np.uint64(61))
-    return np.where(s >= _MERSENNE, s - _MERSENNE, s)
+def _mul_shift(u: np.ndarray, a: np.uint64, b: np.uint64) -> np.ndarray:
+    """h = ((a*u + b) mod 2^64) >> 3 — see the family note above."""
+    with np.errstate(over="ignore"):
+        return (u * a + b) >> _SHIFT
 
 
 # ------------------------------------------------------------ exact dedup
@@ -157,9 +147,11 @@ def minhash_signatures(
     """(id_col, sig array<bigint>[num_hashes]) MinHash signatures.
 
     Phase split: shingle hashing JVM-side; per-batch numpy computes
-    ``min_j((a_j * s + b_j) mod M61)`` over each doc's shingle set with
+    ``min_j(multiply_shift_j(s))`` over each doc's shingle set with
     ``np.minimum.reduceat`` — num_hashes passes over the flat array,
-    no per-row Python.
+    no per-row Python. Permutations are the Dietzfelbinger multiply-shift
+    family (see module note): genuinely 2-approximately-universal AND three
+    uint64 ops per permutation.
     """
     a, b = _perm_params(num_hashes, seed)
     proj = df.select(
@@ -174,19 +166,19 @@ def minhash_signatures(
             flat, offsets = _flat_lists(batch.column(1))
             starts = offsets[:-1]
             lens = np.diff(offsets)
-            u = flat.view(np.uint64) & _MERSENNE  # into the field
+            u = flat.view(np.uint64)
             sigs = np.empty((batch.num_rows, len(a)), dtype=np.int64)
             nonempty = lens > 0
             red_starts = starts[nonempty]
             for j in range(len(a)):
-                h = _mul_add_mod_m61(u, a[j], b[j])
+                h = _mul_shift(u, a[j], b[j])          # < 2^61, int64-safe
                 if red_starts.size:
                     mins = np.minimum.reduceat(h, red_starts)
                 else:
                     mins = np.empty(0, dtype=np.uint64)
                 col = np.full(batch.num_rows, np.iinfo(np.int64).max,
                               dtype=np.int64)
-                col[nonempty] = mins.astype(np.int64) & np.iinfo(np.int64).max
+                col[nonempty] = mins.astype(np.int64)
                 sigs[:, j] = col
             sig_arr = pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.reshape(-1), pa.int64()), len(a)

@@ -256,25 +256,27 @@ def test_sample_frames(docs):
     assert frames.select(F.max("frame_idx")).first()[0] == 12
 
 
-def test_mul_add_mod_m61_exact():
-    """The minhash permutation hash is the genuine (a*u+b) mod 2^61-1 —
-    verified against Python big-int arithmetic on adversarial and random
-    inputs (ADVICE round 1: the old fold wrapped mod 2^64)."""
-    from hyperloglog_spark.pipeline.dedup import _MERSENNE, _mul_add_mod_m61
+def test_minhash_multiply_shift_family():
+    """The minhash permutation hash is the documented Dietzfelbinger
+    multiply-shift family ((a*u+b) mod 2^64) >> 3 with odd a — verified
+    against Python big-int arithmetic, plus the family invariants the
+    universality proof needs (ADVICE round 1: code and claim must agree)."""
+    from hyperloglog_spark.pipeline.dedup import _mul_shift, _perm_params
 
-    M = (1 << 61) - 1
     rng = np.random.default_rng(99)
     u = np.concatenate([
-        rng.integers(0, M, size=2_000, dtype=np.uint64),
-        np.array([0, 1, 2, M - 1, M - 2, 1 << 60, (1 << 61) - 1],
+        rng.integers(0, 1 << 64, size=2_000, dtype=np.uint64),
+        np.array([0, 1, 2, (1 << 64) - 1, 1 << 63, (1 << 61) - 1],
                  dtype=np.uint64),
     ])
-    for a, b in [(3, 7), (M - 1, M - 1), ((1 << 60) + 12345, 1 << 59),
-                 (0x1234567890ABCDEF % M, 0xFEDCBA987654321 % M)]:
-        got = _mul_add_mod_m61(u, np.uint64(a), np.uint64(b))
-        want = (u.astype(object) * a + b) % M
+    a_arr, b_arr = _perm_params(64, seed=1234)
+    assert (a_arr % np.uint64(2) == 1).all()      # odd multipliers
+    for j in [0, 7, 63]:
+        got = _mul_shift(u, a_arr[j], b_arr[j])
+        want = ((u.astype(object) * int(a_arr[j]) + int(b_arr[j]))
+                % (1 << 64)) >> 3
         assert (got.astype(object) == want).all()
-        assert got.max() < np.uint64(M)
+        assert int(got.max()) < 1 << 61           # fits int64 signatures
 
 
 def test_lsh_topk_plan_is_fully_lazy(spark, monkeypatch):
