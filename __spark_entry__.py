@@ -348,6 +348,45 @@ def q_embedding_topk_bruteforce(spark, sf_dir):
     )
 
 
+def q_neardup_clusters_documents(spark, sf_dir):
+    """Connected-component duplicate CLUSTERS over the MinHash near-dup
+    pair graph — (doc_id, cluster_id, keep): cluster_id is the smallest
+    member, keep marks the representative. This is the decision a dedup
+    pipeline consumes downstream of pair generation. Iterative min-label
+    propagation (each round distributed; driver only steers convergence);
+    oracle = recursive-CTE reachability over the exhaustive exact-Jaccard
+    pair graph."""
+    from hyperloglog_spark.pipeline import near_dup_clusters, near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold_permille=500)
+    return near_dup_clusters(pairs, out_id="doc_id").orderBy("doc_id")
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs. The gate embeddings have no
+    planted vector near-dups (max background cosine ~0.51), so the corpus
+    is embeddings plus deterministic perturbed copies (first component
+    zeroed, vec_id+10000 — cosine ~0.95-0.99 to the source). Semantics:
+    signature Hamming<=3 (16 seeded hyperplanes) AND cosine>=0.9; the
+    oracle replays both conditions over ALL pairs with the hyperplanes
+    inlined as literals."""
+    from hyperloglog_spark.pipeline import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(0.0 AS FLOAT)), "
+            "slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(pert)
+    return embedding_neardup_pairs(
+        corpus, "vec_id", "embedding", threshold_permille=900
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-5 (rows-only: recall asserted in tests)."""
     from hyperloglog_spark.pipeline import lsh_topk
@@ -480,12 +519,10 @@ def _tdigest_interp_sql(table: str, col: str, qs: list[float]) -> str:
     return "WITH r AS (" + base + ") SELECT " + ", ".join(parts)
 
 
-def _lsh_oracle_sql(k: int = 5, nbits: int = 10, dim: int = 64,
-                    seed: int = 77) -> str:
-    """Replicates lsh_topk end to end in SQL: the hyperplanes (same seeded
-    numpy draw) are inlined as double literals; bucket = packed sign bits
-    of the normalized dot products; candidates = bucket Hamming <= 1 (own
-    bucket + 1-bit multiprobe); exact re-rank + top-k."""
+def _plane_sig_expr(dim: int, nbits: int, seed: int, vec: str = "u") -> str:
+    """Packed sign-bit signature of ``vec`` against the same seeded numpy
+    hyperplane draw the Spark kernels use, with the planes inlined as
+    double literals (repr round-trips float64 exactly)."""
     import numpy as np
 
     planes = np.random.default_rng(seed).standard_normal((dim, nbits))
@@ -493,11 +530,20 @@ def _lsh_oracle_sql(k: int = 5, nbits: int = 10, dim: int = 64,
     def lit(j: int) -> str:
         return "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
 
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(u, {lit(j)}) > 0 "
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {lit(j)}) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(nbits)
     )
+
+
+def _lsh_oracle_sql(k: int = 5, nbits: int = 10, dim: int = 64,
+                    seed: int = 77) -> str:
+    """Replicates lsh_topk end to end in SQL: the hyperplanes (same seeded
+    numpy draw) are inlined as double literals; bucket = packed sign bits
+    of the normalized dot products; candidates = bucket Hamming <= 1 (own
+    bucket + 1-bit multiprobe); exact re-rank + top-k."""
+    bucket = _plane_sig_expr(dim, nbits, seed)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -525,6 +571,72 @@ ORDER BY query_id, rank
 """
 
 
+def _embedding_neardup_oracle_sql(
+    threshold: int = 900, nbits: int = 16, max_hamming: int = 3,
+    dim: int = 64, seed: int = 177,
+) -> str:
+    """Full algorithm-mirror for q_embedding_neardup_pairs: perturbed-copy
+    corpus, literal-hyperplane signatures, Hamming gate, exact cosine —
+    over ALL pairs (the exhaustive form of the blocked Spark plan)."""
+    sig = _plane_sig_expr(dim, nbits, seed)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(list_prepend(CAST(0.0 AS FLOAT), embedding[2:]),
+                        x -> CAST(x AS DOUBLE))
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM corpus
+), b AS (
+  SELECT vec_id, u, CAST({sig} AS BIGINT) AS sig FROM n
+), pr AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(a.u) + 1),
+              i -> a.u[i] * c.u[i]))) AS BIGINT) AS cosine_permille
+  FROM b a JOIN b c
+    ON a.vec_id < c.vec_id
+   AND bit_count(xor(a.sig, c.sig)) <= {max_hamming}
+)
+SELECT id_a, id_b, cosine_permille FROM pr
+WHERE cosine_permille >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+              ELSE list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  for i in range(1, len(string_split(text, ' ')) - 1)])
+         END AS sh
+  FROM documents
+"""
+
+_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE s AS ({_SHINGLE_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 500
+),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+walk(id, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e2.a, w.lbl FROM e e2 JOIN walk w ON e2.b = w.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -549,9 +661,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_per_priority": q_orders_per_priority,
     "dedup_exact_documents": q_dedup_exact_documents,
     "neardup_minhash_pairs": q_neardup_minhash_pairs,
+    "neardup_clusters_documents": q_neardup_clusters_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -660,6 +774,8 @@ SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
 WHERE hamming <= 3 ORDER BY id_a, id_b
 """,
     "embedding_topk_lsh": _lsh_oracle_sql(),
+    "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
+    "neardup_clusters_documents": _NEARDUP_CLUSTERS_SQL,
     "cms_event_type_counts":
         "SELECT event_type, count(*) AS approx_count FROM events "
         "GROUP BY event_type ORDER BY approx_count DESC, event_type "

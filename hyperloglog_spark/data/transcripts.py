@@ -105,6 +105,27 @@ def generate(
     })
 
 
+def _write_chunk(args: tuple) -> int:
+    """Generate + shuffle + write one chunk's files (process-pool worker).
+    Pure function of its spec, so pool scheduling order cannot change the
+    output bytes."""
+    path, turns_c, convs_c, chunk_seed, shuffle_seed, conv_offset, \
+        file_start, k = args
+    tbl = generate(turns_c, convs_c, chunk_seed, conv_offset=conv_offset)
+    rng = np.random.default_rng(shuffle_seed)
+    tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    sz = -(-tbl.num_rows // k)
+    written = 0
+    for j in range(k):
+        part = tbl.slice(j * sz, sz)
+        if part.num_rows:
+            pq.write_table(
+                part, f"{path}/part-{file_start + written:04d}.parquet"
+            )
+            written += 1
+    return written
+
+
 def write(
     path: str,
     n_turns: int,
@@ -112,37 +133,51 @@ def write(
     seed: int = 42,
     n_files: int = 8,
     chunk_turns: int = 4_000_000,
+    parallel: int | None = None,
 ) -> str:
     """Write a multi-file parquet directory; returns the path.
 
     Rows are row-shuffled before splitting so conversations span files —
     the realistic (and adversarial for ordering invariants) layout.
+    Chunks are generated by a process pool (``parallel`` workers, default
+    min(16, cpus)); every chunk is a pure function of its precomputed spec
+    (seed, conv offset, file indices), so the output is byte-identical to
+    the sequential order regardless of scheduling.
     """
     os.makedirs(path, exist_ok=True)
     # generate in <=4M-turn chunks with disjoint conv-id namespaces: one
     # shot at 64M turns overflows Arrow's int32 string offsets
     CHUNK = chunk_turns
     n_chunks = -(-n_turns // CHUNK)
-    file_i = 0
     files_per_chunk = -(-n_files // n_chunks)
+    specs = []
     convs_so_far = 0  # accumulated offset: chunk conv-id namespaces must be
     # disjoint even when the last chunk is smaller (a per-chunk ci*convs_c
     # offset would overlap earlier ranges and shrink the distinct-conv count)
+    file_i = 0
     for ci in range(n_chunks):
         turns_c = min(CHUNK, n_turns - ci * CHUNK)
         convs_c = max(1, round(n_convs * turns_c / n_turns))
-        tbl = generate(turns_c, convs_c, seed + ci * 7919,
-                       conv_offset=convs_so_far)
+        # every chunk writes >= 1 file; when chunks outnumber n_files the
+        # clamp matters (the old `or 1` let k go NEGATIVE there, silently
+        # dropping the leading chunks' data)
+        k = max(1, min(files_per_chunk, n_files - (n_chunks - 1 - ci)))
+        specs.append((path, turns_c, convs_c, seed + ci * 7919,
+                      seed + 1 + ci, convs_so_far, file_i, k))
         convs_so_far += convs_c
-        rng = np.random.default_rng(seed + 1 + ci)
-        tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
-        k = min(files_per_chunk, n_files - (n_chunks - 1 - ci)) or 1
-        sz = -(-tbl.num_rows // k)
-        for j in range(k):
-            part = tbl.slice(j * sz, sz)
-            if part.num_rows:
-                pq.write_table(part, f"{path}/part-{file_i:04d}.parquet")
-                file_i += 1
+        # file index advance assumes every slice is non-empty (true for
+        # turns_c >= k, i.e. any non-degenerate chunking)
+        file_i += k
+    if parallel is None:
+        parallel = min(16, os.cpu_count() or 1)
+    if parallel <= 1 or len(specs) == 1:
+        for sp in specs:
+            _write_chunk(sp)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=parallel) as ex:
+            list(ex.map(_write_chunk, specs))
     return path
 
 

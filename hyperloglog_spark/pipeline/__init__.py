@@ -1,7 +1,9 @@
 """Training-data pipeline operators over document/embedding tables.
 
-Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
-search (brute-force + LSH-bucketed cosine top-k), text analysis (language
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine, connected-component clusters with keep-representative),
+similarity search (brute-force + blocked + LSH-bucketed cosine top-k),
+text analysis (language
 ID, quality scoring, token stats, fingerprinting), and multimodal column
 plumbing. All Spark-first: string/shingle hashing runs JVM-side inside
 whole-stage codegen; only fixed-width hash arrays cross the Arrow boundary;
@@ -10,14 +12,21 @@ Python touches batches, never rows.
 
 from .dedup import (
     exact_dedup,
+    hamming_blocked_pairs,
     jaccard_verified_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_dup_clusters,
     near_dup_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
-from .similarity import blocked_topk, brute_force_topk, lsh_topk
+from .similarity import (
+    blocked_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -26,11 +35,14 @@ __all__ = [
     "minhash_lsh_candidates",
     "jaccard_verified_pairs",
     "near_dup_pairs",
+    "near_dup_clusters",
+    "hamming_blocked_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "brute_force_topk",
     "blocked_topk",
     "lsh_topk",
+    "embedding_neardup_pairs",
     "doc_fingerprints",
     "lang_id",
     "quality_score",

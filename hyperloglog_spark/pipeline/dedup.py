@@ -348,41 +348,46 @@ def simhash_signatures(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str,
+def hamming_blocked_pairs(
+    sigs: DataFrame,
     id_col: str,
-    max_hamming: int = 3,
+    sig_col: str,
+    max_hamming: int,
     max_bucket: int = 256,
-    hashing: str = "xxhash64",
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ max_hamming.
+    """All pairs with ``bit_count(sig_a ^ sig_b) <= max_hamming`` via exact
+    pigeonhole blocking: split the ``sig_bits``-bit signature into
+    max_hamming+1 chunks — any qualifying pair agrees on ≥1 chunk, so a
+    self-join per chunk has recall 1.0 (exact, not probabilistic). The
+    Hamming check is JVM-side ``bit_count(a ^ b)``. Buckets larger than
+    ``max_bucket`` (degenerate boilerplate signatures at web scale) are
+    dropped to bound the quadratic pair expansion.
 
-    Pigeonhole blocking: split the 64-bit signature into max_hamming+1
-    chunks — any pair within distance max_hamming agrees on ≥1 chunk, so a
-    self-join per chunk has recall 1.0 (this is exact, not probabilistic).
-    The Hamming check is JVM-side ``bit_count(a ^ b)``.
+    Returns (id_a, id_b, hamming), id_a < id_b.
     """
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    sigs = simhash_signatures(df, text_col, id_col, hashing)
+    width = sig_bits // n_chunks
+    if width == 0:
+        raise ValueError(f"sig_bits={sig_bits} too small for "
+                         f"max_hamming={max_hamming}")
     chunks = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(
             F.expr(
                 # logical shift + mask: arithmetic div/% would mangle the
                 # bit slices of negative int64 signatures
                 f"transform(sequence(0, {n_chunks - 1}), c -> named_struct("
-                f"'c', c, 'key', shiftrightunsigned(simhash, c * {width}) "
+                f"'c', c, 'key', shiftrightunsigned({sig_col}, c * {width}) "
                 f"& cast({(1 << width) - 1} as bigint)))"
             )
         ).alias("e"),
-    ).select(id_col, "simhash", "e.c", "e.key")
+    ).select(id_col, sig_col, "e.c", "e.key")
 
     bucket = (
         chunks.groupBy("c", "key")
-        .agg(F.collect_list(F.struct(id_col, "simhash")).alias("xs"))
+        .agg(F.collect_list(F.struct(id_col, sig_col)).alias("xs"))
         .filter((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
     )
     pairs = bucket.select(
@@ -392,7 +397,7 @@ def simhash_near_dup_pairs(
                 "transform(slice(xs, i + 2, size(xs)), y -> "
                 f"named_struct('id_a', least(x.{id_col}, y.{id_col}), "
                 f"'id_b', greatest(x.{id_col}, y.{id_col}), "
-                "'ham', bit_count(x.simhash ^ y.simhash)))))"
+                f"'ham', bit_count(x.{sig_col} ^ y.{sig_col})))))"
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.ham")
@@ -400,4 +405,77 @@ def simhash_near_dup_pairs(
         pairs.filter(F.col("ham") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("ham").alias("hamming"))
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming (exact pigeonhole
+    blocking via ``hamming_blocked_pairs``)."""
+    sigs = simhash_signatures(df, text_col, id_col, hashing)
+    return hamming_blocked_pairs(
+        sigs, id_col, "simhash", max_hamming, max_bucket, sig_bits=64
+    )
+
+
+# ------------------------------------------------- duplicate clusters
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    out_id: str = "id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    (out_id, cluster_id, keep) for every id appearing in ``pairs``
+    (columns id_a/id_b), where cluster_id is the smallest member id and
+    keep marks the representative — the decision a dedup pipeline
+    actually consumes downstream of pair generation.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels (one join + one groupBy per
+    round); converges in O(graph diameter) rounds, and near-duplicate
+    clusters — copies of a common source — have tiny diameter, so 2-3
+    rounds is typical. The loop is driver-controlled but each round is
+    fully distributed; ``localCheckpoint`` truncates the growing lineage.
+    (At adversarial diameters swap the round body for the large-star/
+    small-star rewrite; the loop shape is identical.)
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias(out_id)).distinct()
+        .withColumn("cluster_id", F.col(out_id))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor = sym.join(
+            labels, sym["b"] == labels[out_id]
+        ).select(F.col("a").alias(out_id), "cluster_id")
+        new = (
+            labels.union(neighbor)
+            .groupBy(out_id)
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), out_id)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        out_id, "cluster_id",
+        (F.col(out_id) == F.col("cluster_id")).alias("keep"),
     )

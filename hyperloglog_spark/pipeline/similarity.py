@@ -243,6 +243,86 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold_permille: int = 900,
+    nbits: int = 16,
+    max_hamming: int = 3,
+    seed: int = 177,
+    max_bucket: int = 1024,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / MinHash / SimHash / embedding).
+
+    Same candidates-then-exact-verify contract as MinHash near-dup:
+    sign-bit signatures over ``nbits`` seeded hyperplanes, exact pigeonhole
+    blocking on signature chunks (recall 1.0 for pairs with signature
+    Hamming <= max_hamming), then exact cosine on candidate pairs only.
+    Output (id_a, id_b, cosine_permille) for pairs with BOTH signature
+    Hamming <= max_hamming AND cosine >= threshold — a deterministic,
+    SQL-mirrorable semantic (the Hamming gate is part of the contract, not
+    a recall leak; near-identical vectors flip few sign bits).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, nbits))
+
+    def with_sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            sig = _signatures(mat, planes)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sig, pa.int64())],
+                names=[id_col, "sig"],
+            )
+
+    from .dedup import hamming_blocked_pairs
+
+    sigs = corpus.select(id_col, vec_col).mapInArrow(
+        with_sig, f"{id_col} bigint, sig bigint"
+    )
+    cand = hamming_blocked_pairs(
+        sigs, id_col, "sig", max_hamming, max_bucket, sig_bits=nbits
+    )
+
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    joined = (
+        cand.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", "__va", "__vb")
+    )
+
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ia = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            va = _normalize(_vec_matrix(batch.column(2)))
+            vb = _normalize(_vec_matrix(batch.column(3)))
+            pm = np.floor(
+                np.einsum("ij,ij->i", va, vb) * 1000.0
+            ).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ia, pa.int64()), pa.array(ib, pa.int64()),
+                 pa.array(pm, pa.int64())],
+                names=["id_a", "id_b", "cosine_permille"],
+            )
+
+    scored = joined.mapInArrow(
+        verify, "id_a bigint, id_b bigint, cosine_permille bigint"
+    )
+    return scored.filter(F.col("cosine_permille") >= threshold_permille)
+
+
 def blocked_topk(
     corpus: DataFrame,
     queries: DataFrame,

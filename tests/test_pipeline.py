@@ -355,3 +355,49 @@ def test_coalesce_for_payloads_uses_metadata_not_a_scan(spark, tmp_path,
     mem = spark.createDataFrame(
         [(1, bytearray(b"x" * 100))], ["asset_id", "payload"])
     assert coalesce_for_payloads(mem).rdd.getNumPartitions() == 1
+
+
+def test_near_dup_clusters_components(spark):
+    """Min-label propagation finds connected components: chains collapse
+    to the smallest member, keep marks exactly one representative each."""
+    from hyperloglog_spark.pipeline import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6), (6, 7), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: (r["cluster_id"], r["keep"])
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 6: (5, False), 7: (5, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_embedding_neardup_pairs_matches_bruteforce_semantic(spark):
+    """Blocked pairs == exhaustive numpy evaluation of the exact semantic
+    (signature Hamming <= h AND cosine >= t)."""
+    from hyperloglog_spark.pipeline import embedding_neardup_pairs
+    from hyperloglog_spark.pipeline.similarity import _normalize, _signatures
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((80, 32))
+    vecs = list(base) + [v + rng.standard_normal(32) * 0.05 for v in base[:20]]
+    pdf = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"]).repartition(5)
+
+    got = sorted(map(tuple, embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold_permille=900, nbits=16,
+        max_hamming=3, seed=177, dim=32).collect()))
+
+    m = _normalize(np.array(vecs, dtype=np.float64))
+    planes = np.random.default_rng(177).standard_normal((32, 16))
+    sig = _signatures(m, planes)
+    want = []
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            ham = bin(int(sig[i]) ^ int(sig[j])).count("1")
+            pm = int(np.floor(1000.0 * float(m[i] @ m[j])))
+            if ham <= 3 and pm >= 900:
+                want.append((i, j, pm))
+    assert got == sorted(want)
+    assert len(got) >= 10        # non-vacuous: planted near-dups found

@@ -176,3 +176,20 @@ def test_chunked_write_disjoint_conv_namespaces(tmp_path):
                  OR count(DISTINCT turn_idx) <> count(*))"""
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_chunked_write_more_chunks_than_files(tmp_path):
+    """When chunks outnumber n_files every chunk must still write its data
+    (the old `or 1` clamp let the per-chunk file count go NEGATIVE there,
+    silently dropping the leading chunks)."""
+    import duckdb
+
+    path = str(tmp_path / "manychunks")
+    # 6 chunks of 200 turns, but only 3 files requested
+    tgen.write(path, n_turns=1_200, n_convs=60, seed=3, n_files=3,
+               chunk_turns=200, parallel=2)
+    n_rows, n_convs = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT conv_id) FROM '{path}/*.parquet'"
+    ).fetchone()
+    assert n_rows == 1_200          # no chunk silently dropped
+    assert n_convs > 40
