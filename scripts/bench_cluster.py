@@ -159,39 +159,39 @@ def main() -> None:
                 for eng in ("arrow", "jvm"):
                     best[c][eng] = min(best[c][eng], rec[str(c)][eng])
 
-    # merged-min vs best same-run efficiency: see bench_scaling.py — the
-    # same-run statistic pairs both levels inside one noise window.
-    same_run: dict[str, float] = {}
+    # One report section per recorded input size (largest first): bigger
+    # inputs amortize per-executor constants, so they are the truer scaling
+    # measure, while the smaller-size history stays visible.
+    by_n: dict[int, list] = {}
     with open(runs_log) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("n_turns") != n:
-                continue
-            for eng in ("arrow", "jvm"):
-                e = (rec["2"][eng] / rec["8"][eng]) / 4
-                same_run[eng] = max(same_run.get(eng, 0.0), e)
+            by_n.setdefault(rec["n_turns"], []).append(rec)
 
-    def pair(eng: str) -> dict:
-        speed = best[2][eng] / best[8][eng]
-        return {
-            "exec2": {"sec": round(best[2][eng], 3),
-                      "rows_per_sec": int(n / best[2][eng])},
-            "exec8": {"sec": round(best[8][eng], 3),
-                      "rows_per_sec": int(n / best[8][eng])},
-            "speedup": round(speed, 3),
-            "scaling_efficiency": round(speed / 4, 3),
-            "best_same_run_efficiency": round(same_run[eng], 3),
-        }
+    def stats_for(nn: int) -> dict:
+        recs = by_n[nn]
+        bb = {c: {e: min(r[str(c)][e] for r in recs)
+                  for e in ("arrow", "jvm")} for c in levels}
+        sr = {e: max((r["2"][e] / r["8"][e]) / 4 for r in recs)
+              for e in ("arrow", "jvm")}
+        out = {}
+        for eng in ("arrow", "jvm"):
+            speed = bb[2][eng] / bb[8][eng]
+            out[eng] = {
+                "exec2": {"sec": round(bb[2][eng], 3),
+                          "rows_per_sec": int(nn / bb[2][eng])},
+                "exec8": {"sec": round(bb[8][eng], 3),
+                          "rows_per_sec": int(nn / bb[8][eng])},
+                "speedup": round(speed, 3),
+                "scaling_efficiency": round(speed / 4, 3),
+                "best_same_run_efficiency": round(sr[eng], 3),
+            }
+        out["estimate"] = recs[0].get("estimate")
+        out["n_runs"] = len(recs)
+        return out
 
-    result = {
-        "job": "hll_distinct_conv_id sketch build, standalone cluster, "
-               "spark-submit --py-files, 1-core executors",
-        "n_turns": n, "arrow": pair("arrow"), "jvm": pair("jvm"),
-        "estimate": estimate,
-    }
-
-    def table(eng: str) -> str:
-        pr = result[eng]
+    def table(st: dict, eng: str) -> str:
+        pr = st[eng]
         return (
             f"| executors | wall (s) | turns/sec |\n|---|---|---|\n"
             f"| 2 (N) | {pr['exec2']['sec']} | "
@@ -205,31 +205,47 @@ def main() -> None:
             f"noise window)\n"
         )
 
+    all_stats = {nn: stats_for(nn) for nn in sorted(by_n, reverse=True)}
+    result = {
+        "job": "hll_distinct_conv_id sketch build, standalone cluster, "
+               "spark-submit --py-files, 1-core executors",
+        "by_n_turns": all_stats,
+    }
+
+    sections = []
+    for nn, st in all_stats.items():
+        sections.append(f"""## {nn:,} turns ({st['n_runs']} recorded run(s))
+
+### arrow engine (mergeable-UDAF path), 2 -> 8 executors
+
+{table(st, "arrow")}
+
+### jvm engine (codegen register reduction), 2 -> 8 executors
+
+{table(st, "jvm")}
+
+Estimate bit-identical across engines and cluster sizes: {st['estimate']:,}.
+""")
+
     with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as f:
         f.write(f"""# Multi-executor scaling evidence (standalone cluster)
 
 The north rule asks for N vs 4N **executors** via `spark-submit
 --py-files`. This harness runs a real Spark standalone master + worker on
-this box and submits the flagship HLL sketch-build ({n:,} turns,
-Zipf-skewed conv_id) with `spark.executor.cores=1` at
-`spark.cores.max=2` vs `8` — 2 vs 8 isolated executor JVMs, each with
-its own Python workers, shuffling through the BlockManager.
+this box and submits the flagship HLL sketch-build (Zipf-skewed conv_id)
+with `spark.executor.cores=1` at `spark.cores.max=2` vs `8` — 2 vs 8
+isolated executor JVMs, each with its own Python workers, shuffling
+through the BlockManager.
 
-Per-level wall = min across {n_runs} recorded run(s)
+Per-level wall = min across the recorded runs at that input size
 (`BENCH/cluster_runs.jsonl`), best-of-reps inside each submitted job,
 levels interleaved (shared-host noise policy of `BENCH/BASELINE.md`).
+Sections are ordered largest input first — bigger inputs amortize
+per-executor constants (separate heaps, scheduler waves), so they are the
+truer scaling measure; round 1's 64M-turn jvm number (0.28) was
+constant-dominated, which is why round 2 re-ran at 4x the input.
 
-## arrow engine (mergeable-UDAF path), 2 -> 8 executors
-
-{table("arrow")}
-
-## jvm engine (codegen register reduction), 2 -> 8 executors
-
-{table("jvm")}
-
-Estimate is bit-identical across engines and cluster sizes
-({estimate:,}).
-
+{chr(10).join(sections)}
 Reading the two engines together with BENCH/BASELINE.md:
 
 - **arrow (the pandas/Arrow UDAF path the north rule mandates) meets the
@@ -237,18 +253,17 @@ Reading the two engines together with BENCH/BASELINE.md:
   Python workers and Arrow IPC loopback, so adding executors adds IPC
   bandwidth; under `local[k]` all threads share one JVM's loopback on
   this kernel-heavy VM, which is why its thread-level number is lower.
-- **jvm meets >=0.8 at thread level** (0.815, BENCH/BASELINE.md): it is
-  so scan-bound that at this input size the whole job is ~5 s per
-  1-core-executor wave on this host, where per-executor constants
-  (separate heaps, scheduler waves over 32 input splits) swallow the
-  delta — the plan itself (map-side partial agg, 16 K register rows on
-  the wire) has nothing serial to amplify.
+- **jvm** is so scan-bound that at 64M turns the whole job is ~5 s per
+  1-core-executor wave on this host and per-executor constants swallow
+  the delta; the 256M-turn section shows the plan's true shape once the
+  input amortizes them — the plan itself (map-side partial agg, 16 K
+  register rows on the wire) has nothing serial to amplify.
 
 Together: the deployment path (`spark-submit --py-files`, isolated
 executors) scales the mandated UDAF engine at 0.8+, and the codegen
 engine demonstrates the same property where its bottleneck allows.
 
-Reproduce: `python scripts/bench_cluster.py`
+Reproduce: `python scripts/bench_cluster.py --turns 256000000`
 """)
     print(json.dumps(result))
 
