@@ -289,6 +289,18 @@ def q_kll_acctbal_by_segment(spark, sf_dir):
     ).orderBy("c_mktsegment")
 
 
+def q_tdigest_acctbal_by_segment(spark, sf_dir):
+    """GROUPED t-digest quantiles: per-market-segment account-balance
+    median/p90. Exact regime per group (n_group << 2δ/π), bit-exact
+    midpoint-interp SQL oracle per group."""
+    from hyperloglog_spark import approx_quantiles
+
+    return approx_quantiles(
+        _t(spark, sf_dir, "customer"), "c_acctbal", [0.5, 0.9],
+        group_by="c_mktsegment", method="tdigest", delta=20000,
+    ).orderBy("c_mktsegment")
+
+
 def q_tdigest_event_value_quantiles(spark, sf_dir):
     """t-digest at delta=50000: every input stays a singleton centroid
     while n < 2δ/π ≈ 31.8k (10k events at sf0.01), so the digest is EXACT
@@ -397,6 +409,23 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    """IVF ANN top-5 with the seeded random coarse quantizer (16 cells,
+    nprobe=4): corpus bucketed by nearest centroid, queries probe their 4
+    nearest cells, exact re-rank. Algorithm-mirror oracle: the centroids
+    are inlined as literals; cell = first-argmax CASE chain, probe ranking
+    = per-query window (dot DESC, cell ASC) — identical tie semantics to
+    the numpy kernel. fit_ivf_centroids provides the data-adapted
+    quantizer (recall asserted in tests); the random quantizer keeps the
+    query externally reproducible."""
+    from hyperloglog_spark.pipeline import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     from hyperloglog_spark.pipeline import token_stats
 
@@ -481,7 +510,7 @@ def _kll_rank_sql(
     part = f"PARTITION BY {group_by} " if group_by else ""
     sel_g = f"{group_by}, " if group_by else ""
     cols = ", ".join(
-        f"min(CASE WHEN rn >= greatest(1, CAST(ceil({q!r} * n) AS BIGINT)) "
+        f"min(CASE WHEN rn >= greatest(1, CAST(ceil(CAST({q!r} AS DOUBLE) * n) AS BIGINT)) "
         f"THEN v END) AS {_qn(q)}"
         for q in qs
     )
@@ -495,28 +524,57 @@ def _kll_rank_sql(
     )
 
 
-def _tdigest_interp_sql(table: str, col: str, qs: list[float]) -> str:
+def _tdigest_interp_sql(
+    table: str, col: str, qs: list[float], group_by: str | None = None
+) -> str:
     """Exact-regime t-digest oracle: all-singleton centroids sit at
     cumulative-weight midpoints rn-0.5, so the estimator is np.interp over
     (rn-0.5, v) at target q*n — mirrored with the same IEEE arithmetic:
-    v_lo + (q*n - (rn0-0.5)) * (v_hi - v_lo), rn0 = clamp(floor(q*n+0.5))."""
+    v_lo + (q*n - (rn0-0.5)) * (v_hi - v_lo), rn0 = clamp(floor(q*n+0.5)).
+    With ``group_by``: one per-q aggregate CTE per group, joined on the
+    group key."""
+    part = f"PARTITION BY {group_by} " if group_by else ""
+    sel_g = f"{group_by}, " if group_by else ""
     base = (
-        f"SELECT CAST({col} AS DOUBLE) AS v, "
-        f"row_number() OVER (ORDER BY CAST({col} AS DOUBLE)) AS rn, "
-        f"count(*) OVER () AS n FROM {table} WHERE {col} IS NOT NULL"
+        f"SELECT {sel_g}CAST({col} AS DOUBLE) AS v, "
+        f"row_number() OVER ({part}ORDER BY CAST({col} AS DOUBLE)) AS rn, "
+        f"count(*) OVER ({part.strip()}) AS n "
+        f"FROM {table} WHERE {col} IS NOT NULL"
     )
-    parts = []
+    if not group_by:
+        parts = []
+        for q in qs:
+            parts.append(
+                f"(SELECT max(CASE WHEN rn = rn0 THEN v END) "
+                f"+ (CAST({q!r} AS DOUBLE) * max(n) - (max(rn0) - 0.5)) "
+                f"* (max(CASE WHEN rn = rn0 + 1 THEN v END) "
+                f"- max(CASE WHEN rn = rn0 THEN v END)) "
+                f"FROM (SELECT v, rn, n, CAST(least(greatest("
+                f"floor(CAST({q!r} AS DOUBLE) * n + 0.5), 1), n - 1) AS BIGINT) AS rn0 "
+                f"FROM r)) AS {_qn(q)}"
+            )
+        return "WITH r AS (" + base + ") SELECT " + ", ".join(parts)
+    ctes = [f"r AS ({base})"]
     for q in qs:
-        parts.append(
-            f"(SELECT max(CASE WHEN rn = rn0 THEN v END) "
-            f"+ ({q!r} * max(n) - (max(rn0) - 0.5)) "
+        name = _qn(q)
+        ctes.append(
+            f"{name}_t AS (SELECT {group_by}, "
+            f"max(CASE WHEN rn = rn0 THEN v END) "
+            f"+ (CAST({q!r} AS DOUBLE) * max(n) - (max(rn0) - 0.5)) "
             f"* (max(CASE WHEN rn = rn0 + 1 THEN v END) "
-            f"- max(CASE WHEN rn = rn0 THEN v END)) "
-            f"FROM (SELECT v, rn, n, CAST(least(greatest("
-            f"floor({q!r} * n + 0.5), 1), n - 1) AS BIGINT) AS rn0 FROM r)"
-            f") AS {_qn(q)}"
+            f"- max(CASE WHEN rn = rn0 THEN v END)) AS {name} "
+            f"FROM (SELECT {group_by}, v, rn, n, CAST(least(greatest("
+            f"floor(CAST({q!r} AS DOUBLE) * n + 0.5), 1), n - 1) AS BIGINT) AS rn0 FROM r) "
+            f"GROUP BY {group_by})"
         )
-    return "WITH r AS (" + base + ") SELECT " + ", ".join(parts)
+    joins = f"{_qn(qs[0])}_t"
+    for q in qs[1:]:
+        joins += f" JOIN {_qn(q)}_t USING ({group_by})"
+    sel = ", ".join(_qn(q) for q in qs)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT {group_by}, {sel} FROM {joins} ORDER BY {group_by}"
+    )
 
 
 def _plane_sig_expr(dim: int, nbits: int, seed: int, vec: str = "u") -> str:
@@ -608,6 +666,68 @@ ORDER BY id_a, id_b
 """
 
 
+def _ivf_oracle_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                    dim: int = 64, seed: int = 311) -> str:
+    """Full algorithm-mirror of ivf_topk with the random quantizer: the
+    normalized centroids are inlined as double literals; per-vector cell
+    dots computed once in a CTE; corpus cell = first argmax (CASE chain),
+    query probes = top-nprobe cells by (dot DESC, cell ASC); exact cosine
+    re-rank + top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def lit(j: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(u, {lit(j)}) AS d{j}" for j in range(n_cells)
+    )
+    m = "greatest(" + ", ".join(f"d{j}" for j in range(n_cells)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN d{j} = m THEN {j}" for j in range(n_cells)
+    ) + " END"
+    probe_union = " UNION ALL ".join(
+        f"SELECT vec_id, u, {j} AS cell, d{j} AS dt FROM d WHERE vec_id < 10"
+        for j in range(n_cells)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM e
+), d AS (
+  SELECT vec_id, u, {dots} FROM n
+), cells AS (
+  SELECT vec_id, u, {argmax} AS cell
+  FROM (SELECT *, {m} AS m FROM d)
+), probes AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM (
+    SELECT vec_id, u, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS pr
+    FROM ({probe_union})
+  ) WHERE pr <= {nprobe}
+), cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(p.qu) + 1),
+              i -> p.qu[i] * c.u[i]))) AS BIGINT) AS score_permille
+  FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id,
+       score_permille
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 _SHINGLE_SQL = """
   SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
@@ -658,6 +778,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_price_quantiles": q_kll_price_quantiles,
     "kll_acctbal_by_segment": q_kll_acctbal_by_segment,
     "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
+    "tdigest_acctbal_by_segment": q_tdigest_acctbal_by_segment,
     "orders_per_priority": q_orders_per_priority,
     "dedup_exact_documents": q_dedup_exact_documents,
     "neardup_minhash_pairs": q_neardup_minhash_pairs,
@@ -665,6 +786,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
@@ -736,6 +858,9 @@ SELECT count(DISTINCT c4) AS n_packed_values, TRUE AS est_in_bound FROM c
                       group_by="c_mktsegment"),
     "tdigest_event_value_quantiles":
         _tdigest_interp_sql("events", "value", [0.5, 0.9, 0.99]),
+    "tdigest_acctbal_by_segment":
+        _tdigest_interp_sql("customer", "c_acctbal", [0.5, 0.9],
+                            group_by="c_mktsegment"),
     "doc_fingerprints": """
 WITH s AS (
   SELECT doc_id,
@@ -774,6 +899,7 @@ SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
 WHERE hamming <= 3 ORDER BY id_a, id_b
 """,
     "embedding_topk_lsh": _lsh_oracle_sql(),
+    "embedding_topk_ivf": _ivf_oracle_sql(),
     "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
     "neardup_clusters_documents": _NEARDUP_CLUSTERS_SQL,
     "cms_event_type_counts":

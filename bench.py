@@ -68,7 +68,8 @@ def main() -> None:
     )
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
-        brute_force_topk, near_dup_pairs, quality_score,
+        brute_force_topk, embedding_neardup_pairs, ivf_topk,
+        near_dup_clusters, near_dup_pairs, quality_score,
     )
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
@@ -108,6 +109,27 @@ def main() -> None:
         ),
         "text_quality_docs": lambda: quality_score(
             t(spark, "documents"), "text", "doc_id"),
+        "embedding_topk_ivf": lambda: ivf_topk(
+            t(spark, "embeddings"),
+            t(spark, "embeddings").filter(F.col("vec_id") < 32),
+            "vec_id", "embedding", k=10,
+        ),
+        "neardup_clusters_docs": lambda: near_dup_clusters(
+            near_dup_pairs(t(spark, "documents"), "text", "doc_id"),
+            out_id="doc_id",
+        ),
+        "embedding_neardup_docs": lambda: embedding_neardup_pairs(
+            t(spark, "embeddings").select("vec_id", "embedding").unionByName(
+                t(spark, "embeddings").select(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    F.expr(
+                        "concat(array(CAST(0.0 AS FLOAT)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ).alias("embedding"),
+                )
+            ),
+            "vec_id", "embedding", threshold_permille=900,
+        ),
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
             trans, ["conv_id", "text", "tool"]),

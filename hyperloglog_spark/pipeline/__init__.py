@@ -25,6 +25,8 @@ from .similarity import (
     blocked_topk,
     brute_force_topk,
     embedding_neardup_pairs,
+    fit_ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
@@ -42,6 +44,8 @@ __all__ = [
     "brute_force_topk",
     "blocked_topk",
     "lsh_topk",
+    "ivf_topk",
+    "fit_ivf_centroids",
     "embedding_neardup_pairs",
     "doc_fingerprints",
     "lang_id",

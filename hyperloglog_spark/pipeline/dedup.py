@@ -450,7 +450,10 @@ def near_dup_clusters(
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the edge list ONCE: it is tiny (pairs, not documents),
+    # and without this every propagation round would recompute the entire
+    # upstream pair-generation pipeline (minhash, LSH, verification)
     labels = (
         sym.select(F.col("a").alias(out_id)).distinct()
         .withColumn("cluster_id", F.col(out_id))

@@ -214,6 +214,17 @@ def lsh_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
 
+    # each corpus row holds ONE bucket and a query's probe buckets are
+    # distinct, so a (query, neighbor) pair joins at most once — no
+    # dedup shuffle needed
+    return _score_and_topk(cand, k)
+
+
+def _score_and_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank + per-query top-k over candidate rows shaped
+    (query_id, neighbor_id, <corpus vec>, __qv) — the verification tail of
+    every candidate-generating ANN path (LSH, IVF)."""
+
     def rerank(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
@@ -230,9 +241,6 @@ def lsh_topk(
                 names=["query_id", "neighbor_id", "score_permille"],
             )
 
-    # each corpus row holds ONE bucket and a query's probe buckets are
-    # distinct, so a (query, neighbor) pair joins at most once — no
-    # dedup shuffle needed
     scored = cand.mapInArrow(
         rerank, "query_id bigint, neighbor_id bigint, score_permille bigint"
     )
@@ -241,6 +249,134 @@ def lsh_topk(
         .applyInPandas(_topk_merge(k), _TOPK_SCHEMA)
         .orderBy("query_id", "rank")
     )
+
+
+def random_ivf_centroids(
+    dim: int, n_cells: int = 16, seed: int = 311
+) -> np.ndarray:
+    """Seeded random (normalized Gaussian) coarse-quantizer centroids —
+    the deterministic, data-independent quantizer (usable before any
+    training pass, and exactly reproducible by an external oracle). For a
+    data-adapted quantizer use ``fit_ivf_centroids``."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((n_cells, dim)))
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_mod: int = 10,
+    iters: int = 10,
+    seed: int = 311,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: deterministic hash-sampled rows
+    (pmod(xxhash64(id), sample_mod) == 0), spherical k-means (Lloyd's on
+    normalized vectors, cosine assignment). Training is the one
+    driver-side step — like any ML fit, the model is small (n_cells × dim
+    floats); assignment and search stay fully distributed."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).collect()
+    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    cents = mat[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 311,
+    dim: int | None = None,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    counterpart to lsh_topk, same output shape and the same lazy join
+    skeleton: corpus rows bucket to their nearest centroid cell (one
+    mapInArrow argmax pass), each query emits its ``nprobe`` nearest cells
+    from the same kernel, candidates come from a (broadcast) equi-join on
+    cell carrying the query vector, and ``_score_and_topk`` re-ranks
+    exactly. Pass ``centroids`` from ``fit_ivf_centroids`` for a
+    data-adapted quantizer; default is the seeded random quantizer
+    (deterministic, reproducible by external oracles)."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])   # one-row peek
+    if centroids is None:
+        centroids = random_ivf_centroids(dim, n_cells, seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(cents))
+
+    def corpus_cells(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(cell, pa.int64()),
+                 batch.column(1)],
+                names=[id_col, "cell", vec_col],
+            )
+
+    def query_probes(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            dots = mat @ cents.T                      # (n, n_cells)
+            # top-nprobe cells per query; stable order = ties to lower cell
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            rep = np.repeat(ids, nprobe)
+            cells = order.reshape(-1).astype(np.int64)
+            vec_idx = np.repeat(np.arange(len(ids)), nprobe)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rep, pa.int64()), pa.array(cells, pa.int64()),
+                 batch.column(1).take(pa.array(vec_idx, pa.int64()))],
+                names=["query_id", "cell", "__qv"],
+            )
+
+    vec_t = next(
+        f.dataType.simpleString() for f in corpus.schema.fields
+        if f.name == vec_col
+    )
+    corpus_c = corpus.select(id_col, vec_col).mapInArrow(
+        corpus_cells, f"{id_col} bigint, cell bigint, {vec_col} {vec_t}"
+    )
+    probes = queries.select(id_col, vec_col).mapInArrow(
+        query_probes, f"query_id bigint, cell bigint, __qv {vec_t}"
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = corpus_c.join(probes, "cell").select(
+        "query_id", F.col(id_col).alias("neighbor_id"), vec_col, "__qv"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # corpus rows live in exactly ONE cell and a query's probe cells are
+    # distinct -> pairs are join-unique, no dedup shuffle
+    return _score_and_topk(cand, k)
 
 
 def embedding_neardup_pairs(

@@ -401,3 +401,41 @@ def test_embedding_neardup_pairs_matches_bruteforce_semantic(spark):
                 want.append((i, j, pm))
     assert got == sorted(want)
     assert len(got) >= 10        # non-vacuous: planted near-dups found
+
+
+def test_ivf_topk_recall_and_fitted_quantizer(spark):
+    """IVF with the random quantizer finds most true top-1 neighbors on
+    clustered data; the fitted (spherical k-means) quantizer does at least
+    as well; both are deterministic across runs."""
+    from hyperloglog_spark.pipeline import fit_ivf_centroids, ivf_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((12, 24)) * 3
+    pdf = [(int(i), [float(x) for x in centers[i % 12]
+                     + rng.standard_normal(24) * 0.1]) for i in range(360)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"]).repartition(6)
+    q = df.filter(F.col("vec_id") < 24)
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df, q, "vec_id", "embedding",
+                                    k=1).collect()}
+
+    ivf_r = ivf_topk(df, q, "vec_id", "embedding", k=1, n_cells=8,
+                     nprobe=3).collect()
+    rnd = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf_r}
+    rnd_recall = sum(bf[kk] == rnd.get(kk) for kk in bf) / len(bf)
+
+    cents = fit_ivf_centroids(df, "vec_id", "embedding", n_cells=8,
+                              sample_mod=2)
+    fit = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(df, q, "vec_id", "embedding", k=1,
+                             centroids=cents, nprobe=3).collect()}
+    fit_recall = sum(bf[kk] == fit.get(kk) for kk in bf) / len(bf)
+
+    assert rnd_recall >= 0.5, rnd_recall
+    assert fit_recall >= rnd_recall - 0.05   # fitted at least comparable
+    assert fit_recall >= 0.9, fit_recall     # k-means nails planted clusters
+
+    again = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ivf_topk(df.repartition(11), q, "vec_id", "embedding",
+                               k=1, n_cells=8, nprobe=3).collect()}
+    assert rnd == again                      # partitioning-invariant
