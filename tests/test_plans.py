@@ -110,3 +110,43 @@ def test_rollup_single_shuffle_and_pruned_scan(spark, tmp_path_factory, sf01_dir
     # wire carries at most (#partitions x #groups) sketch rows
     assert_max_exchanges(q, 1)
     assert_pruned_scan(q, {"event_type", "sketch"})  # day column pruned away
+
+
+def test_ivf_topk_broadcast_join_no_sortmerge(spark, sf01_dir):
+    from hyperloglog_spark.pipeline import ivf_topk
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id",
+                 "embedding", k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the probe side must broadcast: no sort-merge join of the corpus
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # cell join + final top-k group + sort: bounded shuffles
+    assert_max_exchanges(q, 3)
+
+
+def test_lsh_topk_broadcast_join_no_sortmerge(spark, sf01_dir):
+    from hyperloglog_spark.pipeline import lsh_topk
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id",
+                 "embedding", k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_max_exchanges(q, 3)
+
+
+def test_embedding_neardup_bounded_shuffles(spark, sf01_dir):
+    from hyperloglog_spark.pipeline import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = embedding_neardup_pairs(emb, "vec_id", "embedding")
+    # chunk-bucket groupBy (1) + pair dedup groupBy (1) + two vector join
+    # sides (2..4): the quadratic work happens INSIDE buckets, never as a
+    # corpus-wide cartesian
+    assert "CartesianProduct" not in \
+        q._jdf.queryExecution().executedPlan().toString()
+    assert_max_exchanges(q, 6)
