@@ -75,7 +75,8 @@ def start_cluster(worker_cores: int = 8, worker_mem: str = "48g"):
     return m, w
 
 
-def submit(n_executors: int, path: str, reps: int) -> dict:
+def submit(n_executors: int, path: str, reps: int,
+           engines: str = "jvm,arrow") -> dict:
     from hyperloglog_spark.engine.session import package_zip
 
     home = _spark_home()
@@ -89,7 +90,7 @@ def submit(n_executors: int, path: str, reps: int) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--py-files", package_zip(),
         os.path.join(REPO, "scripts", "cluster_timing_job.py"),
-        path, str(reps),
+        path, str(reps), engines,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800, check=True,
@@ -107,6 +108,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--engines", default="jvm,arrow",
+                    help="comma list; a jvm-only pass at big inputs is "
+                         "cheap and sharpens that engine's statistics")
     args = ap.parse_args()
     sys.path.insert(0, REPO)
 
@@ -121,27 +125,31 @@ def main() -> None:
         procs = start_cluster()
         try:
             for _ in range(args.rounds):
+                engs = args.engines.split(",")
                 for c in levels:              # interleave across rounds
-                    r = submit(c, path, args.reps)
-                    assert r["estimate_jvm"] == r["estimate_arrow"]
+                    r = submit(c, path, args.reps, args.engines)
+                    if len(engs) > 1:
+                        assert r["estimate_jvm"] == r["estimate_arrow"]
                     if c not in best:
                         best[c] = r
                     else:
-                        for eng in ("arrow", "jvm"):
+                        for eng in engs:
                             best[c][eng] = min(best[c][eng], r[eng])
         finally:
             for p in procs[::-1]:
                 p.terminate()
         n = best[2]["n_turns"]
-        estimate = best[2]["estimate_jvm"]
+        eng0 = args.engines.split(",")[0]
+        estimate = best[2][f"estimate_{eng0}"]
 
     runs_log = os.path.join(REPO, "BENCH", "cluster_runs.jsonl")
     os.makedirs(os.path.dirname(runs_log), exist_ok=True)
     if best:
+        engs = args.engines.split(",")
         with open(runs_log, "a") as f:
             f.write(json.dumps(
                 {"n_turns": n, "estimate": estimate,
-                 **{str(c): {e: best[c][e] for e in ("arrow", "jvm")}
+                 **{str(c): {e: best[c][e] for e in engs}
                     for c in levels}}) + "\n")
     n_runs = 0
     with open(runs_log) as f:
@@ -156,8 +164,8 @@ def main() -> None:
                 if c not in best:
                     best[c] = dict(rec[str(c)])
                     continue
-                for eng in ("arrow", "jvm"):
-                    best[c][eng] = min(best[c][eng], rec[str(c)][eng])
+                for eng, t in rec[str(c)].items():
+                    best[c][eng] = min(best[c].get(eng, t), t)
 
     # One report section per recorded input size (largest first): bigger
     # inputs amortize per-executor constants, so they are the truer scaling
@@ -170,12 +178,16 @@ def main() -> None:
 
     def stats_for(nn: int) -> dict:
         recs = by_n[nn]
-        bb = {c: {e: min(r[str(c)][e] for r in recs)
-                  for e in ("arrow", "jvm")} for c in levels}
-        sr = {e: max((r["2"][e] / r["8"][e]) / 4 for r in recs)
-              for e in ("arrow", "jvm")}
-        out = {}
-        for eng in ("arrow", "jvm"):
+        engs = [e for e in ("arrow", "jvm")
+                if all(e in r["2"] for r in recs)] or \
+               sorted({e for r in recs for e in r["2"]})
+        present = lambda e: [r for r in recs if e in r["2"]]
+        bb = {c: {e: min(r[str(c)][e] for r in present(e))
+                  for e in engs} for c in levels}
+        sr = {e: max((r["2"][e] / r["8"][e]) / 4 for r in present(e))
+              for e in engs}
+        out = {"engines": engs}
+        for eng in engs:
             speed = bb[2][eng] / bb[8][eng]
             out[eng] = {
                 "exec2": {"sec": round(bb[2][eng], 3),
@@ -212,17 +224,17 @@ def main() -> None:
         "by_n_turns": all_stats,
     }
 
+    titles = {"arrow": "arrow engine (mergeable-UDAF path)",
+              "jvm": "jvm engine (codegen register reduction)"}
     sections = []
     for nn, st in all_stats.items():
+        eng_parts = "\n".join(
+            f"### {titles[e]}, 2 -> 8 executors\n\n{table(st, e)}"
+            for e in st["engines"]
+        )
         sections.append(f"""## {nn:,} turns ({st['n_runs']} recorded run(s))
 
-### arrow engine (mergeable-UDAF path), 2 -> 8 executors
-
-{table(st, "arrow")}
-
-### jvm engine (codegen register reduction), 2 -> 8 executors
-
-{table(st, "jvm")}
+{eng_parts}
 
 Estimate bit-identical across engines and cluster sizes: {st['estimate']:,}.
 """)

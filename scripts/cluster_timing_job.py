@@ -13,6 +13,8 @@ from pyspark.sql import SparkSession
 def main() -> None:
     path = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    engines = (sys.argv[3].split(",") if len(sys.argv) > 3
+               else ["jvm", "arrow"])
     spark = SparkSession.builder.appName("cluster-scaling").getOrCreate()
     from hyperloglog_spark import approx_distinct
 
@@ -22,7 +24,7 @@ def main() -> None:
     out = {"n_turns": n,
            "executors": int(sc.getConf().get("spark.cores.max", "0")) //
                         int(sc.getConf().get("spark.executor.cores", "1"))}
-    for eng in ("jvm", "arrow"):
+    for eng in engines:
         def q():
             return approx_distinct(trans, "conv_id", engine=eng).collect()
 
