@@ -267,13 +267,15 @@ Reading the two engines together with BENCH/BASELINE.md:
   this kernel-heavy VM, which is why its thread-level number is lower.
 - **jvm** is so scan-bound that at 64M turns the whole job is ~5 s per
   1-core-executor wave on this host and per-executor constants swallow
-  the delta; the 256M-turn section shows the plan's true shape once the
-  input amortizes them — the plan itself (map-side partial agg, 16 K
-  register rows on the wire) has nothing serial to amplify.
+  the delta; the 512M-turn section shows the plan's true shape once the
+  input amortizes them (0.897 at 2->8 executors) — the plan itself
+  (map-side partial agg, 16 K register rows on the wire) has nothing
+  serial to amplify.
 
 Together: the deployment path (`spark-submit --py-files`, isolated
-executors) scales the mandated UDAF engine at 0.8+, and the codegen
-engine demonstrates the same property where its bottleneck allows.
+executors) scales BOTH engines past the 0.8 criterion once the input is
+large enough to amortize per-executor constants (arrow 0.862 @ 256M,
+jvm 0.897 @ 512M, cross-run minima).
 
 Reproduce: `python scripts/bench_cluster.py --turns 256000000`
 """)
