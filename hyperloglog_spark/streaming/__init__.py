@@ -3,6 +3,8 @@
 from .sketches import (
     sketch_shard_sink,
     streaming_approx_distinct,
+    streaming_approx_quantiles,
+    streaming_cms_sketches,
     streaming_sketch_agg,
     streaming_windowed_distinct,
 )
@@ -11,5 +13,7 @@ __all__ = [
     "sketch_shard_sink",
     "streaming_sketch_agg",
     "streaming_approx_distinct",
+    "streaming_approx_quantiles",
+    "streaming_cms_sketches",
     "streaming_windowed_distinct",
 ]

@@ -41,12 +41,17 @@ def streaming_sketch_agg(
     value_cols: list[str] | str,
     agg: SketchAggregator,
     group_cols: list[str] | str,
+    emit_sketch: bool = False,
 ) -> DataFrame:
     """Per-group streaming sketch aggregation in update mode.
 
     Emits one row per group per trigger with the group's current finalized
     estimate. State = the serialized sketch (associative merge makes
     restarts and late arrivals exact, not approximate-on-approximate).
+    ``emit_sketch=True`` appends the serialized sketch itself to every
+    emitted row — continuous sketch-row production for downstream batch
+    rollups / point queries (the update-mode sibling of
+    ``sketch_shard_sink``).
     """
     if isinstance(value_cols, str):
         value_cols = [value_cols]
@@ -65,7 +70,10 @@ def streaming_sketch_agg(
     group_fields = [
         f for f in df.schema.fields if f.name in group_cols
     ]
-    out_schema = T.StructType(group_fields + list(agg.finalize_fields))
+    out_fields = group_fields + list(agg.finalize_fields)
+    if emit_sketch:
+        out_fields = out_fields + [T.StructField("sketch", T.BinaryType())]
+    out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("sketch", T.BinaryType())])
     build_grouped = agg.build_grouped
     merge_many = agg.merge_many
@@ -95,6 +103,8 @@ def streaming_sketch_agg(
         row = {c: [k] for c, k in zip(group_cols, key)}
         for n in fin_names:
             row[n] = [vals[n]]
+        if emit_sketch:
+            row["sketch"] = [merged]
         yield pd.DataFrame(row)
 
     return proj.groupBy(*group_cols).applyInPandasWithState(
@@ -124,6 +134,56 @@ def streaming_approx_distinct(
 
     agg.finalize = renamed  # type: ignore[method-assign]
     return streaming_sketch_agg(df, cols, agg, group_by)
+
+
+def streaming_approx_quantiles(
+    df: DataFrame,
+    col: str,
+    group_by: list[str] | str,
+    qs: list[float],
+    method: str = "kll",
+    **params,
+) -> DataFrame:
+    """Streaming KLL / t-digest quantiles per group (update mode).
+
+    The same mergeable aggregators as the batch path ride the generic
+    streaming skeleton; in the exact regime (k >= stream size for KLL,
+    n < 2δ/π for t-digest) the streamed estimate equals the batch one
+    value-for-value, and beyond it the published rank-error bounds hold
+    (micro-batch splits only change which compactions fire, not the
+    guarantee)."""
+    from ..functions import _drop_null_rows
+    from ..quantiles import _make_agg
+
+    agg = _make_agg(method, qs, **params)
+    return streaming_sketch_agg(
+        _drop_null_rows(df, [col]), [col], agg, group_by
+    )
+
+
+def streaming_cms_sketches(
+    df: DataFrame,
+    col: str,
+    group_by: list[str] | str,
+    d: int | None = None,
+    log2_w: int | None = None,
+) -> DataFrame:
+    """Streaming count-min per group (update mode), EMITTING the sketch:
+    every trigger yields each group's current CMS bytes (plus n_total), so
+    a downstream batch job can point-query frequencies at any moment.
+    Counter addition is exact and associative, so the streamed sketch is
+    byte-identical to a batch build over the same rows."""
+    from ..frequency import CmsAggregator
+    from ..functions import _drop_null_rows
+    from ..sketch import cms
+
+    agg = CmsAggregator(
+        d if d is not None else cms.DEFAULT_D,
+        log2_w if log2_w is not None else cms.DEFAULT_LOG2_W,
+    )
+    return streaming_sketch_agg(
+        _drop_null_rows(df, [col]), [col], agg, group_by, emit_sketch=True
+    )
 
 
 def streaming_windowed_distinct(

@@ -234,3 +234,72 @@ def test_sketch_shard_sink_rollup_and_replay_idempotence(spark, tmp_path):
         for r in hll_rollup(doubled, group_by="role", alias="n").collect()
     }
     assert got2 == want
+
+
+def test_streaming_quantiles_exact_regime_matches_batch(spark, tmp_path):
+    """KLL streamed over micro-batches == batch build, value-for-value, in
+    the exact regime (k >= stream size: merges concatenate, never compact)."""
+    import numpy as np
+
+    from hyperloglog_spark import approx_quantiles
+    from hyperloglog_spark.streaming import streaming_approx_quantiles
+
+    rng = np.random.default_rng(31)
+    rows = [("g" + str(i % 3), float(x))
+            for i, x in enumerate(rng.normal(100, 15, size=3000))]
+    batch = spark.createDataFrame(rows, ["g", "x"])
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches-worth of input
+    batch.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_approx_quantiles(stream, "x", "g", [0.5, 0.9], k=4096)
+    (out.writeStream.format("memory").queryName("q_kll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start().awaitTermination())
+    got = {
+        r["g"]: (r["q5"], r["q9"])
+        for r in spark.sql(
+            "SELECT * FROM q_kll").orderBy("g").collect()
+    }
+    want = {
+        r["g"]: (r["q5"], r["q9"])
+        for r in approx_quantiles(batch, "x", [0.5, 0.9], group_by="g",
+                                  k=4096).collect()
+    }
+    assert got == want
+
+
+def test_streaming_cms_sketch_rows_point_query(spark, tmp_path):
+    """Streamed CMS bytes == batch CMS bytes (counter addition is exact);
+    point queries over the emitted sketch match true counts."""
+    import numpy as np
+
+    from hyperloglog_spark.frequency import cms_agg
+    from hyperloglog_spark.sketch import cms
+    from hyperloglog_spark.streaming import streaming_cms_sketches
+
+    rows = [("shard", f"tool-{i % 7}") for i in range(2100)]
+    batch = spark.createDataFrame(rows, ["g", "tool"])
+    src = str(tmp_path / "src-cms")
+    batch.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_cms_sketches(stream, "tool", "g")
+    (out.writeStream.format("memory").queryName("q_cms")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-cms"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_cms").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])          # last (most complete) state
+
+    want = bytes(cms_agg(batch, "tool").first()["sketch"])
+    assert sk == want                          # byte-identical to batch
+
+    import pyspark.sql.functions as F
+    h = np.array([r[0] for r in batch.select(
+        F.xxhash64("tool")).distinct().collect()], dtype=np.int64)
+    est = cms.point_query(sk, h.view(np.uint64))
+    assert sorted(est.tolist()) == [300] * 7   # exact counts per tool
