@@ -150,3 +150,20 @@ def test_embedding_neardup_bounded_shuffles(spark, sf01_dir):
     assert "CartesianProduct" not in \
         q._jdf.queryExecution().executedPlan().toString()
     assert_max_exchanges(q, 6)
+
+
+def test_grouped_quantiles_single_shuffle(events):
+    q = approx_quantiles(events, "value", [0.5], group_by="event_type")
+    assert_pruned_scan(q, {"value", "event_type"})
+    assert_max_exchanges(q, 1)
+
+
+def test_verified_distinct_prunes_both_scans(events):
+    from hyperloglog_spark import approx_distinct_verified
+
+    q = approx_distinct_verified(events, "user_id")
+    # two aggregates by design (estimate + exact verification harness),
+    # both reading ONLY the key column, joined by a 1x1 crossJoin
+    assert scan_columns(q) == {"user_id"}
+    assert "SortMergeJoin" not in \
+        q._jdf.queryExecution().executedPlan().toString()
