@@ -426,6 +426,29 @@ def q_embedding_topk_ivf(spark, sf_dir):
     )
 
 
+def q_sample_documents(spark, sf_dir):
+    """Deterministic bottom-k-by-hash sample (the mergeable min-k form of
+    uniform sampling: partitioning-invariant, union = re-take-k). md5 keys
+    so the oracle reproduces the exact selection."""
+    from hyperloglog_spark.pipeline import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", 100,
+        hashing="md5",
+    ).orderBy("sample_key")
+
+
+def q_sample_stratified_by_lang(spark, sf_dir):
+    """Per-language stratified sample (the per-class eval-holdout shape):
+    up to 20 smallest-hash docs per lang, md5-keyed for the oracle."""
+    from hyperloglog_spark.pipeline import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", 20, hashing="md5",
+    ).orderBy("lang", "sample_key")
+
+
 def q_text_token_stats(spark, sf_dir):
     from hyperloglog_spark.pipeline import token_stats
 
@@ -788,6 +811,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "sample_documents": q_sample_documents,
+    "sample_stratified_by_lang": q_sample_stratified_by_lang,
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -960,6 +985,18 @@ FROM scored
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "sample_documents": """
+SELECT doc_id, ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS sample_key
+FROM documents ORDER BY sample_key, doc_id LIMIT 100
+""",
+    "sample_stratified_by_lang": """
+SELECT doc_id, lang, sample_key FROM (
+  SELECT doc_id, lang, ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS sample_key,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20 ORDER BY lang, sample_key
 """,
     "text_token_stats": """
 SELECT doc_id, length(text) AS n_chars,

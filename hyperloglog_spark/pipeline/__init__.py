@@ -29,6 +29,7 @@ from .similarity import (
     ivf_topk,
     lsh_topk,
 )
+from .sampling import deterministic_sample, stratified_sample
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -51,4 +52,6 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_stats",
+    "deterministic_sample",
+    "stratified_sample",
 ]

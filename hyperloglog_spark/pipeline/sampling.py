@@ -1,0 +1,82 @@
+"""Deterministic sampling operators: bottom-k-by-hash and stratified.
+
+Training-data pipelines need samples that are REPRODUCIBLE — the same
+eval holdout regardless of cluster size, partitioning, or engine — and
+MERGEABLE — the sample of a union computable from per-shard samples.
+Bottom-k-by-hash delivers both: keep the k rows whose hash(id) is
+smallest. That is exactly the min-k sketch (the KMV cardinality
+estimator's state), so union = concatenate + re-take-k, and any engine
+that can compute the hash reproduces the selection bit-for-bit.
+
+Catalyst executes ``orderBy(hash).limit(k)`` as TakeOrderedAndProject —
+per-partition top-k heaps merged at the driver, never a global sort — so
+the plan is a single scan plus a k-row collect regardless of input size.
+The stratified variant ranks within groups via a window (one shuffle on
+the group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sample_key(id_col: str, hashing: str, salt: int) -> F.Column:
+    """64-bit sample key of (id, salt). "md5" keys (top 60 md5 bits) are
+    reproducible in any ANSI engine — the oracle-checkable mode; xxhash64
+    is the fast JVM default."""
+    if hashing == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(salt))
+    if hashing == "md5":
+        return F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+            f"'#', '{salt}')), 1, 15), 16, 10) as bigint)"
+        )
+    raise ValueError(f"hashing must be 'xxhash64' or 'md5': {hashing!r}")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    hashing: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """The k rows with the smallest hash(id, salt) — a uniform sample that
+    is a pure function of the data (partitioning-invariant), mergeable
+    (bottom-k of a union == bottom-k of concatenated bottom-k's), and
+    refreshable (change ``salt`` for an independent redraw).
+
+    Appends ``sample_key`` so downstream unions can re-take-k without
+    rehashing. Ties cannot occur for distinct ids (64-bit injective-in-
+    practice keys); duplicate ids sample together by construction.
+    """
+    key = _sample_key(id_col, hashing, salt)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_by: str | list[str],
+    k_per_group: int,
+    hashing: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """Up to ``k_per_group`` smallest-hash rows per group — the per-class
+    eval-holdout shape. One shuffle (window over the group key); the same
+    determinism/merge properties as ``deterministic_sample`` hold within
+    each group."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+    key = _sample_key(id_col, hashing, salt)
+    w = Window.partitionBy(*group_by).orderBy("sample_key", id_col)
+    return (
+        df.withColumn("sample_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_per_group)
+        .drop("__rn")
+    )

@@ -439,3 +439,43 @@ def test_ivf_topk_recall_and_fitted_quantizer(spark):
              for r in ivf_topk(df.repartition(11), q, "vec_id", "embedding",
                                k=1, n_cells=8, nprobe=3).collect()}
     assert rnd == again                      # partitioning-invariant
+
+
+def test_deterministic_sample_invariance_and_merge_law(docs):
+    """Bottom-k-by-hash: partitioning-invariant, and the sample of a union
+    equals re-taking k from the per-shard samples (the min-k merge law)."""
+    from hyperloglog_spark.pipeline import deterministic_sample
+
+    a = deterministic_sample(docs, "doc_id", 50).collect()
+    b = deterministic_sample(docs.repartition(13), "doc_id", 50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 50
+
+    # merge law: shard the corpus, sample each shard, re-take k from the
+    # union of shard samples -> identical to sampling the whole corpus
+    s1 = deterministic_sample(docs.filter("doc_id % 2 = 0"), "doc_id", 50)
+    s2 = deterministic_sample(docs.filter("doc_id % 2 = 1"), "doc_id", 50)
+    merged = (s1.unionByName(s2)
+              .orderBy("sample_key", "doc_id").limit(50).collect())
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, a))
+
+    # a different salt draws a (near-)disjoint sample
+    c = deterministic_sample(docs, "doc_id", 50, salt=1).collect()
+    ids_a = {r["doc_id"] for r in a}
+    ids_c = {r["doc_id"] for r in c}
+    assert len(ids_a & ids_c) < 20
+
+
+def test_stratified_sample_per_group_counts(docs):
+    from hyperloglog_spark.pipeline import stratified_sample
+
+    out = stratified_sample(docs, "doc_id", "lang", 10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    n_langs = docs.select("lang").distinct().count()
+    assert len(by_lang) == n_langs
+    assert all(len(v) <= 10 for v in by_lang.values())
+    again = stratified_sample(docs.repartition(9), "doc_id", "lang",
+                              10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
