@@ -394,8 +394,11 @@ def q_embedding_neardup_pairs(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(pert)
+    # nbits/max_hamming pinned to the oracle's literals (the library
+    # default scales the chunk keyspace for larger corpora — ADVICE r2)
     return embedding_neardup_pairs(
-        corpus, "vec_id", "embedding", threshold_permille=900
+        corpus, "vec_id", "embedding", threshold_permille=900,
+        nbits=16, max_hamming=3,
     ).orderBy("id_a", "id_b")
 
 

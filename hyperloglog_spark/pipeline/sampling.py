@@ -17,6 +17,10 @@ the group key).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +63,37 @@ def deterministic_sample(
     )
 
 
+def _local_group_bottomk(
+    keyed: DataFrame,
+    group_by: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Narrow (shuffle-free) pre-reduction: within every Arrow batch keep
+    only the ``k`` smallest-(sample_key, id) rows PER GROUP. Output schema
+    is unchanged; output size is ≤ k × groups-present per batch. Exact by
+    the min-k merge law: per-shard bottom-k is a superset of the global
+    bottom-k's members from that shard."""
+    sel = keyed.schema.names
+    g_idx = [sel.index(g) for g in group_by]
+    key_idx, id_idx = sel.index("sample_key"), sel.index(id_col)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            pdf = pa.Table.from_batches([batch]).select(
+                [sel[i] for i in g_idx] + [sel[key_idx], sel[id_idx]]
+            ).to_pandas()
+            order = pdf.sort_values([sel[key_idx], sel[id_idx]],
+                                    kind="mergesort")
+            keep = order.groupby([sel[i] for i in g_idx], sort=False,
+                                 dropna=False).head(k).index.to_numpy()
+            yield batch.take(pa.array(np.sort(keep)))
+
+    return keyed.mapInArrow(fn, keyed.schema)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -68,15 +103,23 @@ def stratified_sample(
     salt: int = 0,
 ) -> DataFrame:
     """Up to ``k_per_group`` smallest-hash rows per group — the per-class
-    eval-holdout shape. One shuffle (window over the group key); the same
-    determinism/merge properties as ``deterministic_sample`` hold within
-    each group."""
+    eval-holdout shape; the same determinism/merge properties as
+    ``deterministic_sample`` hold within each group.
+
+    Two-phase (VERDICT r2 #6 — a single window over the group key lands
+    the hottest group in one task): phase 1 is a NARROW per-Arrow-batch
+    per-group bottom-k (no shuffle; at most k rows per group per batch
+    survive, so the hottest group contributes ≤ k × batches rows instead
+    of all its rows), phase 2 the global per-group re-take-k window over
+    that reduced set. Byte-identical to the one-phase window by the min-k
+    merge law (ties impossible: 64-bit keys + id tiebreak)."""
     group_by = [group_by] if isinstance(group_by, str) else list(group_by)
     key = _sample_key(id_col, hashing, salt)
+    keyed = df.withColumn("sample_key", key)
+    reduced = _local_group_bottomk(keyed, group_by, id_col, k_per_group)
     w = Window.partitionBy(*group_by).orderBy("sample_key", id_col)
     return (
-        df.withColumn("sample_key", key)
-        .withColumn("__rn", F.row_number().over(w))
+        reduced.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k_per_group)
         .drop("__rn")
     )

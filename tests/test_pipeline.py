@@ -479,3 +479,289 @@ def test_stratified_sample_per_group_counts(docs):
     again = stratified_sample(docs.repartition(9), "doc_id", "lang",
                               10).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# -------------------------------------------------- round-3 scale guards
+
+
+def _df_cls():
+    """The CONCRETE DataFrame class (pyspark>=4 routes instances through
+    pyspark.sql.classic; patching the abstract base is a no-op)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:                        # pragma: no cover
+        from pyspark.sql import DataFrame
+    return DataFrame
+
+
+def _recording_collect(monkeypatch, sizes):
+    """Patch DataFrame.collect to record result sizes (driver traffic)."""
+    DataFrame = _df_cls()
+    real = DataFrame.collect
+
+    def spy(self, *a, **kw):
+        rows = real(self, *a, **kw)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+
+def test_fit_ivf_centroids_absolute_sample_cap(spark, monkeypatch):
+    """VERDICT r2 #1: the driver-side training sample is capped ABSOLUTELY
+    (bottom-k-by-hash limit), not a corpus fraction — every collect during
+    the fit is <= max_sample rows regardless of corpus size."""
+    from hyperloglog_spark.pipeline import fit_ivf_centroids
+
+    rng = np.random.default_rng(9)
+    pdf = [(int(i), [float(x) for x in rng.standard_normal(16)])
+           for i in range(2000)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"]).repartition(8)
+
+    sizes = []
+    _recording_collect(monkeypatch, sizes)
+    cents = fit_ivf_centroids(df, "vec_id", "embedding", n_cells=4,
+                              max_sample=64)
+    monkeypatch.undo()
+    assert cents.shape == (4, 16)
+    assert sizes and max(sizes) <= 64          # never a fraction of 2000
+
+    # determinism: partitioning-invariant (bottom-k-by-hash sample)
+    again = fit_ivf_centroids(df.repartition(3), "vec_id", "embedding",
+                              n_cells=4, max_sample=64)
+    assert np.array_equal(cents, again)
+
+
+def test_fit_ivf_centroids_distributed_collects_o_ncells(spark, monkeypatch):
+    """VERDICT r2 #1 'done' criterion: the distributed fit's per-iteration
+    driver collect is O(n_cells * dim) — IDENTICAL row counts at two very
+    different corpus sizes."""
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((6, 12)) * 3
+
+    def corpus(n, parts):
+        pdf = [(int(i), [float(x) for x in centers[i % 6]
+                         + rng.standard_normal(12) * 0.1]) for i in range(n)]
+        return spark.createDataFrame(
+            pdf, ["vec_id", "embedding"]).repartition(parts)
+
+    per_size = []
+    for n, parts in ((150, 3), (1200, 11)):
+        sizes = []
+        _recording_collect(monkeypatch, sizes)
+        cents = fit_ivf_centroids_distributed(
+            corpus(n, parts), "vec_id", "embedding", n_cells=6, iters=3)
+        monkeypatch.undo()
+        assert cents.shape == (6, 12)
+        # init collect: n_cells rows; each iteration: n_cells*(dim+1) rows
+        assert max(sizes) <= 6 * 13
+        per_size.append(max(sizes))
+    assert per_size[0] == per_size[1]          # independent of corpus size
+
+
+def test_fit_ivf_centroids_distributed_grid_mode_deterministic(spark):
+    """grid_bits quantizes the centroid update to an integer grid: exact,
+    order-independent sums, so the fit is invariant to partitioning — the
+    property the SQL oracle for the trained-IVF query relies on."""
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(29)
+    pdf = [(int(i), [float(x) for x in rng.standard_normal(8)])
+           for i in range(300)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"])
+    a = fit_ivf_centroids_distributed(df.repartition(2), "vec_id",
+                                      "embedding", n_cells=5, iters=2,
+                                      grid_bits=20, hashing="md5")
+    b = fit_ivf_centroids_distributed(df.repartition(13), "vec_id",
+                                      "embedding", n_cells=5, iters=2,
+                                      grid_bits=20, hashing="md5")
+    assert np.array_equal(a, b)                # bit-identical, not approx
+
+
+def test_brute_force_budget_enforced(spark, monkeypatch):
+    """VERDICT r2 #3: an over-budget query set NEVER reaches the driver —
+    the call auto-routes to blocked_topk (identical output); a false
+    'broadcast-sized' declaration raises instead of collecting silently."""
+    from hyperloglog_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(31)
+    pdf = [(int(i), [float(x) for x in rng.standard_normal(12)])
+           for i in range(200)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"]).repartition(4)
+    q = df.filter(F.col("vec_id") < 40)
+
+    # over-budget + declared: plan builds with collect() forbidden
+    def boom(self, *a, **kw):
+        raise AssertionError("driver collect on an over-budget query set")
+
+    monkeypatch.setattr(_df_cls(), "collect", boom)
+    plan = sim.brute_force_topk(df, q, "vec_id", "embedding", k=3,
+                                expected_queries=40,
+                                max_broadcast_queries=10)
+    monkeypatch.undo()
+    routed = sorted(map(tuple, plan.collect()))
+
+    # ...and the routed result is the exact blocked_topk answer
+    want = sorted(map(tuple, sim.blocked_topk(
+        df, q, "vec_id", "embedding", k=3).collect()))
+    assert routed == want
+
+    # undeclared: the bounded probe routes the same way
+    monkeypatch.setattr(_df_cls(), "collect", boom)
+    plan2 = sim.brute_force_topk(df, q, "vec_id", "embedding", k=3,
+                                 max_broadcast_queries=10)
+    monkeypatch.undo()
+    assert sorted(map(tuple, plan2.collect())) == want
+
+    # a lying declaration fails loudly at collect time
+    with pytest.raises(ValueError, match="broadcast"):
+        sim.brute_force_topk(df, q, "vec_id", "embedding", k=3,
+                             expected_queries=5, max_broadcast_queries=10)
+
+
+def test_near_dup_clusters_adversarial_chain(spark):
+    """VERDICT r2 #4: a chain graph with diameter >> round budget — the
+    large-star/small-star rewrite converges in O(log^2 n) rounds where
+    min-label propagation needed O(diameter)."""
+    from hyperloglog_spark.pipeline import near_dup_clusters
+
+    n = 240                                   # diameter 239 >> 30 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"])
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")               # unconverged would raise
+        got = {r["id"]: (r["cluster_id"], r["keep"])
+               for r in near_dup_clusters(pairs).collect()}
+    assert len(got) == n
+    assert all(lbl == 1 for lbl, _ in got.values())
+    assert [i for i, (_, keep) in got.items() if keep] == [1]
+
+
+def test_near_dup_clusters_random_graph_vs_union_find(spark):
+    """Star-contraction components == a driver-side union-find oracle on a
+    random graph with many components of varied shapes."""
+    from hyperloglog_spark.pipeline import near_dup_clusters
+
+    rng = np.random.default_rng(47)
+    edges = set()
+    for _ in range(300):
+        a, b = rng.integers(0, 500, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+
+    pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_stratified_sample_two_phase_exact_and_skew_safe(spark, docs):
+    """VERDICT r2 #6: the two-phase stratified sample is byte-identical to
+    the single-window definition, and the narrow pre-reduction bounds what
+    the hottest group ships into the window shuffle."""
+    from pyspark.sql import Window
+
+    from hyperloglog_spark.pipeline import stratified_sample
+    from hyperloglog_spark.pipeline.sampling import (
+        _local_group_bottomk, _sample_key,
+    )
+
+    # exactness vs the one-phase window on real data, any partitioning
+    got = sorted(map(tuple, stratified_sample(
+        docs.select("doc_id", "lang").repartition(7), "doc_id", "lang", 20,
+        hashing="md5").collect()))
+    keyed = docs.select("doc_id", "lang").withColumn(
+        "sample_key", _sample_key("doc_id", "md5", 0))
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    want = sorted(map(tuple, keyed.withColumn(
+        "rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+        .drop("rn").collect()))
+    assert got == want
+
+    # skew: ONE group, many partitions -> phase-1 output is ~k per
+    # partition-batch, never the group's full row count
+    hot = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("lang"))
+    hot_keyed = hot.repartition(10).withColumn(
+        "sample_key", _sample_key("doc_id", "xxhash64", 0))
+    reduced = _local_group_bottomk(hot_keyed, ["lang"], "doc_id", 5)
+    n_reduced = reduced.count()
+    assert n_reduced <= 10 * 3 * 5             # partitions x batches x k
+    out = stratified_sample(hot.repartition(10), "doc_id", "lang", 5)
+    assert out.count() == 5
+
+
+def test_hamming_blocked_pairs_observes_dropped_buckets(spark):
+    """ADVICE r2: bucket drops are observable — identical signatures
+    overflow a tiny max_bucket and the Observation reports it."""
+    from pyspark.sql import Observation
+
+    from hyperloglog_spark.pipeline.dedup import hamming_blocked_pairs
+
+    rows = [(i, 7) for i in range(50)] + [(100, 9), (101, 9)]
+    sigs = spark.createDataFrame(rows, ["doc_id", "sig"])
+    obs = Observation("drops")
+    out = hamming_blocked_pairs(sigs, "doc_id", "sig", max_hamming=3,
+                                max_bucket=10, observation=obs)
+    pairs = out.collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+    got = obs.get
+    # chunk 0: the 50-id sig-7 bucket; chunks 1-3: all 52 ids share key 0
+    assert got["n_buckets_dropped"] == 4
+    assert got["n_ids_in_dropped"] == 206   # 50 + 3 chunks x 52 all-zero-key
+
+
+def test_infer_dim_empty_queries_raises(spark):
+    """ADVICE r2: empty query set -> clear ValueError, not TypeError."""
+    from hyperloglog_spark.pipeline import ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    pdf = [(int(i), [float(x) for x in rng.standard_normal(8)])
+           for i in range(20)]
+    df = spark.createDataFrame(pdf, ["vec_id", "embedding"])
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        lsh_topk(df, empty, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk(df, empty, "vec_id", "embedding")
+
+
+def test_decode_image_seam_without_pil():
+    """Import-guarded decoder: raises the documented NotImplementedError
+    where PIL is absent; decodes for real where it exists."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        _try_pil, decode_image,
+    )
+
+    if _try_pil() is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(b"\x89PNG")
+    else:                                     # real cluster with a codec
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 3), color=7).save(buf, format="PNG")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (3, 4) and int(arr[0, 0]) == 7
