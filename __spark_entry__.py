@@ -429,6 +429,86 @@ def q_embedding_topk_ivf(spark, sf_dir):
     )
 
 
+def q_embedding_topk_ivf_trained(spark, sf_dir):
+    """IVF ANN top-5 with a DATA-ADAPTED coarse quantizer trained by the
+    fully distributed Lloyd's fit (VERDICT r2 #1 'done' criterion): init =
+    the 8 bottom-md5-hash corpus rows (O(n_cells) collect), one k-means
+    iteration whose per-cell sufficient statistics reduce map-side to
+    n_cells x (dim+1) rows — nothing driver-side scales with the corpus.
+    grid_bits=20 runs the centroid update on an integer grid (exact,
+    order-independent sums), so the oracle replays the ENTIRE fit —
+    init selection, assignment, grid means, renormalize — then the same
+    IVF probe/re-rank, bit-for-bit in SQL."""
+    from hyperloglog_spark.pipeline import ivf_topk
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids_distributed(
+        emb, "vec_id", "embedding", n_cells=8, iters=1, seed=311,
+        grid_bits=20, hashing="md5",
+    )
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, centroids=cents, nprobe=4,
+    )
+
+
+def q_streaming_distinct_event_users(spark, sf_dir):
+    """Structured Streaming HLL distinct in the driver gate (VERDICT r2
+    #5): the events table replayed as a bounded file stream through the
+    same mergeable aggregator as the batch path
+    (``applyInPandasWithState``, update mode, availableNow trigger), each
+    micro-batch's per-group state folded exactly; final state = the
+    highest-batch emit per group, written via foreachBatch to parquet.
+    p=16 linear-counting regime at gate scale -> estimate == exact, so
+    the oracle is plain COUNT(DISTINCT)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from hyperloglog_spark.streaming import streaming_approx_distinct
+
+    static = _t(spark, sf_dir, "events")
+    # the streaming file source wants a DIRECTORY; stage the single-file
+    # table into one (symlink — no data copy — with a copy fallback)
+    src_dir = tempfile.mkdtemp(prefix="hll_gate_stream_src_")
+    src = f"{sf_dir}/events.parquet"
+    try:
+        os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    except OSError:                              # pragma: no cover
+        shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    out = streaming_approx_distinct(
+        stream, "user_id", "event_type", p=16, alias="n_users"
+    )
+    out_dir = tempfile.mkdtemp(prefix="hll_gate_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="hll_gate_stream_ckpt_")
+
+    def write_batch(bdf, bid: int) -> None:
+        (bdf.withColumn("__bid", F.lit(bid))
+         .write.mode("append").parquet(out_dir))
+
+    (out.writeStream.foreachBatch(write_batch)
+     .outputMode("update")
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+    emitted = spark.read.parquet(out_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("__bid"))
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n_users")
+        .orderBy("event_type")
+    )
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic bottom-k-by-hash sample (the mergeable min-k form of
     uniform sampling: partitioning-invariant, union = re-take-k). md5 keys
@@ -754,6 +834,82 @@ ORDER BY query_id, rank
 """
 
 
+def _ivf_trained_oracle_sql(
+    k: int = 5, n_cells: int = 8, nprobe: int = 4, seed: int = 311,
+    grid_bits: int = 20, n_queries: int = 10,
+) -> str:
+    """Full algorithm-mirror of q_embedding_topk_ivf_trained: replays the
+    DISTRIBUTED k-means fit in SQL — init = bottom-n_cells rows by the md5
+    sample key, cosine argmax assignment (ties to lower cell, matching
+    numpy first-argmax), per-cell means on the 2^grid_bits integer grid
+    (sum + floor-divide of integer-valued doubles: exact and
+    order-independent, the property that makes a distributed reduction
+    SQL-replayable), renormalize, empty cells keep init — then the same
+    IVF probe/re-rank as _ivf_oracle_sql with the trained centroids as a
+    CTE instead of literals."""
+    scale = float(1 << grid_bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM e
+), keyed AS (
+  SELECT vec_id, u,
+         ('0x' || substr(md5(concat(CAST(vec_id AS VARCHAR), '#', '{seed}')), 1, 15))::BIGINT AS mk
+  FROM n
+), init AS (
+  SELECT row_number() OVER (ORDER BY mk, vec_id) - 1 AS cell, u AS cu
+  FROM keyed ORDER BY mk, vec_id LIMIT {n_cells}
+), asgn AS (
+  SELECT k.vec_id, k.u, i.cell,
+         row_number() OVER (PARTITION BY k.vec_id ORDER BY
+           list_sum(list_transform(range(1, len(k.u) + 1), j -> k.u[j] * i.cu[j])) DESC,
+           i.cell) AS rn
+  FROM keyed k CROSS JOIN init i
+), members AS (
+  SELECT u, cell FROM asgn WHERE rn = 1
+), stats AS (
+  SELECT cell, pos, sum(floor(val * {scale})) AS s, count(*) AS cnt
+  FROM (SELECT cell, unnest(u) AS val, unnest(range(1, len(u) + 1)) AS pos FROM members)
+  GROUP BY cell, pos
+), graw AS (
+  SELECT cell, list(floor(s / cnt) / {scale} ORDER BY pos) AS gv
+  FROM stats GROUP BY cell
+), cents AS (
+  SELECT i.cell,
+         CASE WHEN g.gv IS NULL THEN i.cu
+              ELSE list_transform(g.gv, x -> x / sqrt(list_sum(list_transform(g.gv, y -> y * y)))) END AS cu
+  FROM init i LEFT JOIN graw g ON i.cell = g.cell
+), scored_cells AS (
+  SELECT n2.vec_id, n2.u, c.cell,
+         row_number() OVER (PARTITION BY n2.vec_id ORDER BY
+           list_sum(list_transform(range(1, len(n2.u) + 1), j -> n2.u[j] * c.cu[j])) DESC,
+           c.cell) AS rn
+  FROM n n2 CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT vec_id, u, cell FROM scored_cells WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM scored_cells
+  WHERE rn <= {nprobe} AND vec_id < {n_queries}
+), cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(p.qu) + 1),
+              i -> p.qu[i] * c.u[i]))) AS BIGINT) AS score_permille
+  FROM corpus_cells c JOIN probes p ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id,
+       score_permille
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 _SHINGLE_SQL = """
   SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
@@ -813,6 +969,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    "streaming_distinct_event_users": q_streaming_distinct_event_users,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "sample_documents": q_sample_documents,
     "sample_stratified_by_lang": q_sample_stratified_by_lang,
@@ -928,6 +1086,10 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
 """,
     "embedding_topk_lsh": _lsh_oracle_sql(),
     "embedding_topk_ivf": _ivf_oracle_sql(),
+    "embedding_topk_ivf_trained": _ivf_trained_oracle_sql(),
+    "streaming_distinct_event_users":
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
+        "GROUP BY event_type ORDER BY event_type",
     "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
     "neardup_clusters_documents": _NEARDUP_CLUSTERS_SQL,
     "cms_event_type_counts":

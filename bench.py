@@ -71,6 +71,9 @@ def main() -> None:
         brute_force_topk, embedding_neardup_pairs, ivf_topk,
         near_dup_clusters, near_dup_pairs, quality_score,
     )
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -114,6 +117,17 @@ def main() -> None:
             t(spark, "embeddings").filter(F.col("vec_id") < 32),
             "vec_id", "embedding", k=10,
         ),
+        # full distributed fit (2 Lloyd's iterations) + search — the
+        # trained-quantizer path end to end
+        "embedding_topk_ivf_trained": lambda: ivf_topk(
+            t(spark, "embeddings"),
+            t(spark, "embeddings").filter(F.col("vec_id") < 32),
+            "vec_id", "embedding", k=10,
+            centroids=fit_ivf_centroids_distributed(
+                t(spark, "embeddings"), "vec_id", "embedding",
+                n_cells=16, iters=2,
+            ),
+        ),
         "neardup_clusters_docs": lambda: near_dup_clusters(
             near_dup_pairs(t(spark, "documents"), "text", "doc_id"),
             out_id="doc_id",
@@ -128,7 +142,10 @@ def main() -> None:
                     ).alias("embedding"),
                 )
             ),
+            # params pinned to the r02 values so interleaved per-query
+            # comparisons across rounds stay apples-to-apples
             "vec_id", "embedding", threshold_permille=900,
+            nbits=16, max_hamming=3,
         ),
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(

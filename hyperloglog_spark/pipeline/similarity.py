@@ -569,7 +569,7 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold_permille: int = 900,
-    nbits: int = 32,
+    nbits: int = 64,
     max_hamming: int = 7,
     seed: int = 177,
     max_bucket: int = 1024,
@@ -592,10 +592,13 @@ def embedding_neardup_pairs(
     buckets survive the ``max_bucket`` cap; oversized buckets (boilerplate
     signatures at web scale) are dropped to bound the quadratic pair
     expansion (ADVICE r2). Size the chunk keyspace for the corpus: chunk
-    width = nbits // (max_hamming + 1) bits, so the defaults (32, 7) give
-    8-bit chunks = 256 buckets per chunk; at ≫ 256 × max_bucket rows
-    raise ``nbits`` (and ``max_hamming`` with it to keep the cosine/
-    Hamming gate comparable — E[Hamming] ≈ nbits · angle/π). Pass a
+    width = nbits // (max_hamming + 1) bits, so the defaults (64, 7) give
+    8-bit chunks = 256 buckets per chunk (the r2 defaults (16, 3) gave
+    4-bit chunks — 16 buckets — which silently drop nearly everything
+    beyond ~16k rows). Note E[Hamming] ≈ nbits · angle/π, so at 64 bits
+    the ham≤7 gate keeps only tighter matches (cos ≳ 0.95 typically) —
+    the gate is part of the semantic; loosen ``max_hamming`` (narrowing
+    chunks) or widen ``max_bucket`` per corpus. Pass a
     ``pyspark.sql.Observation`` as ``observation`` to count dropped
     buckets/ids instead of losing them silently.
     """
