@@ -336,6 +336,111 @@ def q_neardup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_hll_sliding_window_users(spark, sf_dir):
+    """Sliding-window distinct users (1-day windows sliding 12 h): each
+    event lands in exactly window/slide = 2 windows via an Expand-shaped
+    explode over integer epoch arithmetic (bit-reproducible in any
+    engine, no timestamp round-trip). The fan-out is fixed, so the sketch
+    aggregation's shuffle still carries (window, register) rows only.
+    p=16 linear-counting regime -> exact."""
+    from hyperloglog_spark import approx_distinct
+    from hyperloglog_spark.transcripts import with_sliding_windows
+
+    ev = with_sliding_windows(
+        _t(spark, sf_dir, "events"), "ts", window_s=86400, slide_s=43200,
+    )
+    return approx_distinct(
+        ev, "user_id", group_by="window_start_epoch", p=16, alias="n_users",
+    ).orderBy("window_start_epoch")
+
+
+def q_checkpoint_resume_distinct(spark, sf_dir):
+    """Resumable sketch job through the driver gate (north rule:
+    'resumable from checkpoint with per-partition lineage + metrics').
+    The events table is copied as an 8-file layout; the build runs once
+    with max_batches=1 — a simulated preemption after 2 of 8 files — then
+    resumes to completion from the committed lineage. Resume must skip
+    exactly the committed files (lineage anti-join) and the merged
+    estimate equals an uninterrupted build's because re-merging committed
+    register arrays is the same register-max monoid (tests/
+    test_checkpoint.py proves byte-identity). p=16 linear-counting regime
+    -> estimate == exact COUNT(DISTINCT). Output carries the resume
+    evidence as a boolean the oracle pins to TRUE."""
+    import shutil
+    import tempfile
+
+    from hyperloglog_spark.engine.checkpoint import resumable_sketch_build
+    from hyperloglog_spark.functions import HllAggregator
+
+    work = tempfile.mkdtemp(prefix="ckpt_gate_")
+    try:
+        data = f"{work}/events"
+        _t(spark, sf_dir, "events").repartition(8).write.parquet(data)
+        ckpt = f"{work}/ck"
+        first = resumable_sketch_build(
+            spark, data, "user_id", HllAggregator(p=16), ckpt,
+            files_per_batch=2, max_batches=1,
+        )
+        res = resumable_sketch_build(
+            spark, data, "user_id", HllAggregator(p=16), ckpt,
+            files_per_batch=2,
+        )
+        ok = (
+            first.files_processed == 2
+            and res.files_resumed == 2
+            and res.files_processed == res.files_total - 2
+        )
+        return spark.createDataFrame(
+            [(res.estimate, res.rows, bool(ok))],
+            "n_users bigint, n_rows bigint, files_resumed_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_salted_hot_key_agg(spark, sf_dir):
+    """Two-phase SALTED exact aggregation over a pathologically hot key
+    (5 event_type values absorb every row — the skewed-conv_id shape the
+    north rule names). Phase 1 aggregates on (key, salt), fanning each hot
+    key out 32 ways; phase 2 re-aggregates the partials on the bare key,
+    so at most buckets x n_keys rows cross the second shuffle instead of
+    one task absorbing a whole hot key. Salt = hash(user_id) pinned to the
+    DISTINCT-counted entity, so each user lands in exactly one (key, salt)
+    cell and even count(distinct) decomposes EXACTLY — integers only, so
+    the oracle is the plain direct GROUP BY."""
+    from hyperloglog_spark.transcripts import with_salted_key
+
+    ev = with_salted_key(
+        _t(spark, sf_dir, "events"), "event_type",
+        buckets=32, salt_col="user_id",
+    )
+    phase1 = ev.groupBy("event_type", "event_type__salted").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("user_id").alias("u"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum("u").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (J >= 0.7 on word 3-gram
+    shingles) via a prefix-filter inverted index (AllPairs/PPJoin family):
+    recall 1.0 by construction, so it matches the exhaustive all-pairs SQL
+    oracle identically — no probabilistic step anywhere."""
+    from hyperloglog_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold_permille=700,
+    )
+
+
 def q_simhash_neardup_pairs(spark, sf_dir):
     """SimHash Hamming<=3 pairs via exact pigeonhole blocking. hashing=md5
     (top 60 md5 bits per token) makes every signature bit SQL-reproducible,
@@ -964,6 +1069,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_per_priority": q_orders_per_priority,
     "dedup_exact_documents": q_dedup_exact_documents,
     "neardup_minhash_pairs": q_neardup_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "salted_hot_key_agg": q_salted_hot_key_agg,
+    "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
+    "hll_sliding_window_users": q_hll_sliding_window_users,
     "neardup_clusters_documents": q_neardup_clusters_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
@@ -1113,6 +1222,43 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "dedup_exact_documents":
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
         "GROUP BY text ORDER BY doc_id",
+    "hll_sliding_window_users": """
+WITH e AS (
+  SELECT user_id,
+         unnest([s0, s0 - 43200]) AS window_start_epoch
+  FROM (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT) AS s0
+    FROM events)
+)
+SELECT window_start_epoch, count(DISTINCT user_id) AS n_users
+FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
+""",
+    "checkpoint_resume_distinct":
+        "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_rows, "
+        "TRUE AS files_resumed_ok FROM events",
+    "salted_hot_key_agg":
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+    "ngram_jaccard_pairs": """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+              ELSE list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  for i in range(1, len(string_split(text, ' ')) - 1)])
+         END AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT)
+         AS jaccard_permille
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 700
+ORDER BY id_a, id_b
+""",
     "neardup_minhash_pairs": """
 WITH s AS (
   SELECT doc_id,

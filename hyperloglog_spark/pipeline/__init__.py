@@ -18,6 +18,7 @@ from .dedup import (
     minhash_signatures,
     near_dup_clusters,
     near_dup_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "jaccard_verified_pairs",
     "near_dup_pairs",
+    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "hamming_blocked_pairs",
     "simhash_signatures",

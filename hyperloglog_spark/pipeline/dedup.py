@@ -139,7 +139,12 @@ def _observe_dropped(grouped: DataFrame, list_col: str, max_bucket: int,
     'covered everything'): counts of buckets over ``max_bucket`` and of
     member ids inside them, named ``n_buckets_dropped`` /
     ``n_ids_in_dropped``. Collected lazily by Spark's observation
-    machinery — zero extra jobs, zero extra shuffles."""
+    machinery — zero extra jobs, zero extra shuffles.
+
+    Caveat: if the FINAL query result is empty, AQE's empty-relation
+    propagation can prune the CollectMetrics node and ``Observation.get``
+    raises instead of reporting the drops — treat a failed ``get`` after
+    an empty result as "everything was dropped", not "nothing was"."""
     if observation is None:
         return grouped
     over = F.size(list_col) > max_bucket
@@ -250,16 +255,23 @@ def minhash_lsh_candidates(
     bucket = grouped.filter(
         (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
-    pairs = bucket.select(
+    return _pairs_from_buckets(bucket, "ids")
+
+
+def _pairs_from_buckets(bucket: DataFrame, list_col: str) -> DataFrame:
+    """Distinct unordered id pairs (id_a < id_b) from bucket member lists.
+
+    Pair expansion happens inside whole-stage codegen (transform/slice);
+    ``distinct`` dedups pairs that collide in several buckets/bands."""
+    return bucket.select(
         F.explode(
             F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> "
-                "named_struct('a', least(x, y), 'b', greatest(x, y)))))"
+                f"flatten(transform({list_col}, (x, i) -> "
+                f"transform(slice({list_col}, i + 2, size({list_col})), y -> "
+                f"named_struct('a', least(x, y), 'b', greatest(x, y)))))"
             )
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
-    return pairs
 
 
 def jaccard_verified_pairs(
@@ -269,6 +281,7 @@ def jaccard_verified_pairs(
     id_col: str,
     threshold_permille: int = 500,
     shingle_len: int = 3,
+    hashing: str = "xxhash64",
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
@@ -278,7 +291,8 @@ def jaccard_verified_pairs(
     intersection sizes are computed JVM-side with array_intersect.
     """
     sh = df.select(
-        F.col(id_col), shingle_hashes(text_col, shingle_len).alias("__sh")
+        F.col(id_col),
+        shingle_hashes(text_col, shingle_len, hashing).alias("__sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -320,6 +334,73 @@ def near_dup_pairs(
     return jaccard_verified_pairs(
         df, cands, text_col, id_col,
         threshold_permille=threshold_permille, shingle_len=shingle_len,
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------- exact n-gram Jaccard (prefix filter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_permille: int = 500,
+    shingle_len: int = 3,
+    hashing: str = "xxhash64",
+    max_posting: int = 4096,
+    observation=None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via prefix-filter inverted index.
+
+    Unlike MinHash (probabilistic recall) this is recall 1.0 by
+    construction: sort each document's distinct shingle-hash set
+    ascending, index only the first ``|S| - ceil(t*|S|) + 1`` tokens
+    (the "prefix"), and expand pairs only inside a posting list. The
+    prefix-filter theorem (Chaudhuri/Ganti/Kaushik 2006, SSJoin; the
+    AllPairs/PPJoin family): under ANY total order shared by all sets,
+    two sets with Jaccard >= t MUST collide within their prefixes —
+    if A and B miss each other's prefixes, the overlap is at most
+    min(ceil(t|A|), ceil(t|B|)) - 1 < t/(1+t) * (|A|+|B|), below what
+    J >= t requires. Every candidate is then exactly verified.
+
+    Scale shape (the 100 TB lens): shingling and sorting are whole-stage
+    codegen; the shuffle key is a single bigint shingle hash; posting
+    lists are capped at ``max_posting`` (a shingle shared by more docs
+    than that is boilerplate — pass an ``Observation`` to count dropped
+    postings rather than lose them silently). Prefix indexing shrinks the
+    inverted index by a factor of ~1/(1-t) vs indexing every shingle.
+
+    Output: (id_a, id_b, jaccard_permille), ordered, exact.
+    """
+    t = int(threshold_permille)
+    if not 0 < t <= 1000:
+        raise ValueError(f"threshold_permille must be in (0, 1000]: {t}")
+    sh = df.select(
+        F.col(id_col),
+        F.array_sort(
+            shingle_hashes(text_col, shingle_len, hashing)
+        ).alias("__sh"),
+    )
+    # prefix length L = |S| - ceil(t*|S|/1000) + 1  (>= 1 for t <= 1000)
+    plen = (
+        F.size("__sh")
+        - F.ceil(F.size("__sh") * F.lit(t) / F.lit(1000.0)).cast("int")
+        + F.lit(1)
+    )
+    prefix = sh.select(
+        F.col(id_col), F.explode(F.slice("__sh", F.lit(1), plen)).alias("__tok")
+    )
+    grouped = prefix.groupBy("__tok").agg(
+        F.collect_list(id_col).alias("ids")
+    )
+    grouped = _observe_dropped(grouped, "ids", max_posting, observation)
+    bucket = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_posting)
+    )
+    cands = _pairs_from_buckets(bucket, "ids")
+    return jaccard_verified_pairs(
+        df, cands, text_col, id_col,
+        threshold_permille=t, shingle_len=shingle_len, hashing=hashing,
     ).orderBy("id_a", "id_b")
 
 
@@ -526,33 +607,39 @@ def near_dup_clusters(
     while the edge set is still moving, a loud warning is raised instead
     of silently returning partial clusters (ADVICE r2).
     """
+    import uuid
     import warnings
 
-    edges = (
+    from pyspark.sql import Observation
+
+    def _ckpt_with_stats(e: DataFrame) -> tuple[DataFrame, tuple]:
+        """Eager localCheckpoint whose materialization job ALSO computes
+        the convergence stats via an Observation — (count, bit_xor edge
+        checksum: order-independent, overflow-free; edges are distinct so
+        xor cancellation needs a real set change). One job per round
+        instead of checkpoint + a separate stats pass."""
+        obs = Observation(f"cc-{uuid.uuid4().hex[:8]}")
+        out = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("chk"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["chk"])
+
+    edges, prev = _ckpt_with_stats(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         _symmetrize(edges).select(F.col("a").alias(out_id)).distinct()
         .localCheckpoint(eager=True)
     )
 
-    def _stats(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count("*").alias("n"),
-            # bit_xor: order-independent, overflow-free (edges are
-            # distinct, so xor cancellation needs a real set change)
-            F.expr("bit_xor(xxhash64(a, b))").alias("chk"),
-        ).first()
-        return (row["n"], row["chk"])
-
-    prev = _stats(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _stats(edges)
+        edges, cur = _ckpt_with_stats(_small_star(_large_star(edges)))
         if cur == prev:
             converged = True
             break

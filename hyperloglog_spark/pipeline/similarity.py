@@ -109,31 +109,34 @@ def brute_force_topk(
     The query set is materialized once into the UDF closure — the
     broadcast-join contract (small side must fit an executor). That
     contract is ENFORCED, not assumed (VERDICT r2 #3, the
-    ``_resolve_jvm_grouped`` guard pattern): callers declare
-    ``expected_queries``; a declared or measured query count above
-    ``max_broadcast_queries`` auto-routes to ``blocked_topk`` (the
-    shuffled exact path, identical output) BEFORE any driver collect.
-    With no declaration, a bounded ``limit(max+1).count()`` probe — which
-    early-exits the scan via CollectLimit — decides the dispatch; and if
-    a declared-small query set turns out oversized at collect time, the
-    call raises rather than silently OOMing the driver. For sublinear
+    ``_resolve_jvm_grouped`` guard pattern): a declared
+    ``expected_queries`` above ``max_broadcast_queries`` auto-routes to
+    ``blocked_topk`` (the shuffled exact path, identical output) before
+    any driver collect. With no declaration, the materializing collect is
+    ITSELF the probe — ``limit(max+1)`` caps driver transfer at max+1
+    rows (CollectLimit early-exits the scan) and costs zero extra jobs;
+    an over-budget result then routes to ``blocked_topk``, or raises if
+    the caller had declared the set broadcast-sized. For sublinear
     candidate generation use ``lsh_topk``/``ivf_topk``.
     """
-    if expected_queries is None:
-        expected_queries = (
-            queries.select(id_col).limit(max_broadcast_queries + 1).count()
-        )
-    if expected_queries > max_broadcast_queries:
+    if expected_queries is not None and expected_queries > max_broadcast_queries:
         return blocked_topk(
             corpus, queries, id_col, vec_col, k=k, exclude_self=exclude_self
         )
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .limit(max_broadcast_queries + 1).collect()
+    )
     if len(q_rows) > max_broadcast_queries:
+        if expected_queries is None:
+            return blocked_topk(
+                corpus, queries, id_col, vec_col, k=k,
+                exclude_self=exclude_self,
+            )
         raise ValueError(
-            f"brute_force_topk: query set has {len(q_rows)} rows but "
-            f"expected_queries={expected_queries} declared it broadcast-"
-            f"sized (max {max_broadcast_queries}); use blocked_topk or "
-            "declare the true size"
+            f"brute_force_topk: query set exceeds {max_broadcast_queries} "
+            f"rows but expected_queries={expected_queries} declared it "
+            "broadcast-sized; use blocked_topk or declare the true size"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))

@@ -30,6 +30,7 @@ __all__ = [
     "conversation_membership",
     "ordering_invariant_violations",
     "with_salted_key",
+    "with_sliding_windows",
 ]
 
 
@@ -112,19 +113,50 @@ def ordering_invariant_violations(df: DataFrame, source: DataFrame) -> DataFrame
     return joined.filter(~F.col("text_a").eqNullSafe(F.col("text_b")))
 
 
+def with_sliding_windows(
+    df: DataFrame, ts_col: str, window_s: int, slide_s: int,
+    start_name: str = "window_start_epoch",
+) -> DataFrame:
+    """Explode each row into every sliding window containing it, emitting
+    the window start as EPOCH SECONDS (bigint) — integer arithmetic any
+    engine reproduces bit-for-bit, unlike timestamp/timezone round-trips.
+
+    A row at epoch t belongs to windows starting at
+    ``floor(t/slide)*slide - k*slide`` for k in [0, window/slide): the
+    same Expand-node shape Catalyst plans for ``groupBy(F.window(...))``
+    with a slide, but with a SQL-mirrorable surface. ``window_s`` must be
+    a multiple of ``slide_s``. The fan-out factor is window/slide — fixed
+    and known, so a downstream sketch aggregation's shuffle still carries
+    only (window, register) rows at scale."""
+    if window_s % slide_s != 0:
+        raise ValueError(
+            f"window_s must be a multiple of slide_s: {window_s}/{slide_s}"
+        )
+    k = window_s // slide_s
+    # NTZ timestamps can't cast straight to double; go via TIMESTAMP —
+    # deterministic because get_spark pins the session timezone to UTC
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    s0 = (F.floor(e / F.lit(slide_s)) * F.lit(slide_s)).cast("long")
+    starts = F.array(*[s0 - F.lit(i * slide_s) for i in range(k)])
+    return df.withColumn(start_name, F.explode(starts))
+
+
 def with_salted_key(
-    df: DataFrame, col: str, buckets: int = 32, salted_name: str | None = None
+    df: DataFrame, col: str, buckets: int = 32,
+    salted_name: str | None = None, salt_col: str = "turn_idx",
 ) -> DataFrame:
     """Salt a hot key for exact (non-sketch) aggregations: aggregate on the
     salted key first, then re-aggregate on the original key. Sketch
     aggregations do NOT need this — their phase-1 map-side combine already
     bounds per-key shuffle rows at #partitions — but exact counts/collects
-    over skewed conv_ids do. Salting is deterministic (hash of turn_idx),
-    not random, so re-runs are reproducible."""
+    over skewed conv_ids do. Salting is deterministic (hash of
+    ``salt_col``, default the transcript turn index), not random, so
+    re-runs are reproducible."""
     salted_name = salted_name or f"{col}__salted"
     return df.withColumn(
         salted_name,
         F.concat_ws(
-            "#", F.col(col), (F.pmod(F.xxhash64("turn_idx"), F.lit(buckets))).cast("string")
+            "#", F.col(col),
+            (F.pmod(F.xxhash64(salt_col), F.lit(buckets))).cast("string"),
         ),
     )

@@ -14,6 +14,7 @@ from hyperloglog_spark.pipeline import (
     lang_id,
     lsh_topk,
     near_dup_pairs,
+    ngram_jaccard_pairs,
     quality_score,
     simhash_near_dup_pairs,
     simhash_signatures,
@@ -91,6 +92,38 @@ def test_minhash_lsh_neardup_exhaustive_parity(docs):
     }
     assert got == _exact_pairs(500)
     assert len(got) > 0  # non-vacuous: sf0.01 plants 25 near-dup pairs
+
+
+def test_ngram_jaccard_prefix_filter_exhaustive_parity(docs):
+    """Prefix-filter inverted index == exhaustive all-pairs Jaccard at two
+    thresholds (recall 1.0 is the operator's contract, not probabilistic)."""
+    for t in (500, 700):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard_permille"]
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold_permille=t
+            ).collect()
+        }
+        assert got == _exact_pairs(t)
+    assert len(_exact_pairs(500)) > 0
+
+
+def test_ngram_jaccard_observes_dropped_postings(docs):
+    from pyspark.sql import Observation
+
+    obs = Observation("drops")
+    # max_posting=2 keeps 2-member posting lists (so the result is
+    # non-empty — a fully-empty result lets AQE's empty-relation
+    # propagation prune the CollectMetrics node and the metrics vanish)
+    # while dropping every larger list, which must be reported loudly.
+    rows = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold_permille=500,
+        max_posting=2, observation=obs,
+    ).collect()
+    assert len(rows) > 0
+    got = obs.get
+    assert got["n_buckets_dropped"] > 0
+    assert got["n_ids_in_dropped"] > 2 * got["n_buckets_dropped"]
 
 
 def test_neardup_partitioning_invariance(docs):
@@ -612,11 +645,22 @@ def test_brute_force_budget_enforced(spark, monkeypatch):
         df, q, "vec_id", "embedding", k=3).collect()))
     assert routed == want
 
-    # undeclared: the bounded probe routes the same way
-    monkeypatch.setattr(_df_cls(), "collect", boom)
+    # undeclared: the materializing collect IS the probe — limit(max+1)
+    # bounds driver transfer (the scale contract) with zero extra jobs,
+    # and the over-budget result routes to the identical blocked path
+    real_collect = _df_cls().collect
+    collected_sizes = []
+
+    def spy(self, *a, **kw):
+        rows = real_collect(self, *a, **kw)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_df_cls(), "collect", spy)
     plan2 = sim.brute_force_topk(df, q, "vec_id", "embedding", k=3,
                                  max_broadcast_queries=10)
     monkeypatch.undo()
+    assert collected_sizes and max(collected_sizes) <= 11
     assert sorted(map(tuple, plan2.collect())) == want
 
     # a lying declaration fails loudly at collect time

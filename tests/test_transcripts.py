@@ -126,6 +126,21 @@ class TestFlagshipQueries:
         )
         assert tq.ordering_invariant_violations(corrupted, source).count() == 1
 
+    def test_sliding_windows_membership_and_fanout(self, tdf):
+        """Every row lands in exactly window/slide windows, each of which
+        actually contains its timestamp."""
+        out = tq.with_sliding_windows(tdf, "ts", window_s=3600, slide_s=900)
+        n = tdf.count()
+        assert out.count() == 4 * n
+        e = F.col("ts").cast("timestamp").cast("double")
+        ws = F.col("window_start_epoch")
+        violations = out.filter(~((ws <= e) & (e < ws + 3600))).count()
+        assert violations == 0
+        # window starts align to the slide grid
+        assert out.filter(F.col("window_start_epoch") % 900 != 0).count() == 0
+        with pytest.raises(ValueError, match="multiple"):
+            tq.with_sliding_windows(tdf, "ts", window_s=3600, slide_s=1000)
+
     def test_salting_preserves_exact_counts(self, tdf):
         salted = tq.with_salted_key(tdf, "conv_id", buckets=8)
         two_stage = (
