@@ -69,7 +69,8 @@ def main() -> None:
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
         brute_force_topk, embedding_neardup_pairs, ivf_topk,
-        near_dup_clusters, near_dup_pairs, quality_score,
+        near_dup_clusters, near_dup_pairs, ngram_jaccard_pairs,
+        quality_score,
     )
     from hyperloglog_spark.pipeline.similarity import (
         fit_ivf_centroids_distributed,
@@ -105,6 +106,11 @@ def main() -> None:
             t(spark, "lineitem"), "l_extendedprice", [0.5, 0.9, 0.99]),
         "neardup_minhash_docs": lambda: near_dup_pairs(
             t(spark, "documents"), "text", "doc_id"),
+        # exact recall-1.0 variant: prefix-filter inverted index, no
+        # signature stage — measures the AllPairs-style path at scale
+        "ngram_jaccard_docs": lambda: ngram_jaccard_pairs(
+            t(spark, "documents"), "text", "doc_id",
+            threshold_permille=700),
         "embedding_topk_docs": lambda: brute_force_topk(
             t(spark, "embeddings"),
             t(spark, "embeddings").filter(F.col("vec_id") < 32),

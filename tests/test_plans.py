@@ -89,6 +89,18 @@ def test_neardup_bounded_shuffles(docs):
     assert_max_exchanges(q, 6)
 
 
+def test_ngram_jaccard_bounded_shuffles_no_cartesian(docs):
+    from hyperloglog_spark.pipeline import ngram_jaccard_pairs
+
+    q = ngram_jaccard_pairs(docs, "text", "doc_id", threshold_permille=700)
+    assert_pruned_scan(q, {"text", "doc_id"})
+    # posting-list groupBy (1) + pair distinct (1) + verify join sides (2)
+    # + final sort (1): same budget as the minhash path, no all-pairs join
+    assert_max_exchanges(q, 6)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_scan_columns_helper(events):
     q = events.select("user_id")
     assert scan_columns(q) == {"user_id"}
