@@ -336,6 +336,92 @@ def q_neardup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_hll_jaccard_priorities(spark, sf_dir):
+    """HLL Jaccard similarity of two customer sets (URGENT vs LOW orders)
+    from STORED sketches via the scalar surface (hll_jaccard = inclusion-
+    exclusion intersection over lossless union merge). At ~1100 keys per
+    set the p=16 estimates are within-bound but not integer-exact, so
+    this uses the validity-harness oracle shape: output = the EXACT
+    Jaccard (permille) plus a flag pinning the estimate inside a
+    propagated 3-sigma bound (each of the three counts carries
+    3*1.04/sqrt(m) relative error; |dJ| <= eps*(J + 1 + (|A|+|B|)/|U|)
+    <= 4*eps, so tol = ceil(4000*3*1.04/sqrt(m)) permille)."""
+    import math
+
+    from hyperloglog_spark.functions import hll_jaccard_udf, hll_sketch_agg
+    from hyperloglog_spark.sketch import hll
+
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    sk = hll_sketch_agg(od, "o_custkey", group_by="o_orderpriority", p=16,
+                        engine="jvm", expected_groups=2)
+    a = sk.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("sketch").alias("ska"))
+    b = sk.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("sketch").alias("skb"))
+    est = a.crossJoin(b).select(
+        F.floor(F.lit(1000.0) * hll_jaccard_udf(F.col("ska"), F.col("skb")))
+        .cast("long").alias("__est")
+    )
+    exact = od.agg(
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT",
+                   F.col("o_custkey"))).alias("__ca"),
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "5-LOW",
+                   F.col("o_custkey"))).alias("__cv"),
+        F.count_distinct("o_custkey").alias("__cu"),
+    ).select(
+        F.floor(
+            F.lit(1000.0)
+            * (F.greatest(F.lit(0).cast("long"),
+                          F.col("__ca") + F.col("__cv") - F.col("__cu"))
+               / F.col("__cu"))
+        ).cast("long").alias("jaccard_exact_permille")
+    )
+    tol = math.ceil(4000.0 * hll.error_bound(16) * 3.0)
+    return exact.crossJoin(est).select(
+        "jaccard_exact_permille",
+        (
+            F.abs(F.col("__est") - F.col("jaccard_exact_permille"))
+            <= F.lit(tol)
+        ).alias("est_in_bound"),
+    )
+
+
+def q_hll_fold_verified(spark, sf_dir):
+    """Precision FOLDING through the driver gate: a p=16 sketch folded to
+    p=12 entirely on the lazy SQL scalar surface
+    (hll_estimate(hll_fold(sketch, 12))). fold() is an exact downgrade —
+    byte-identical to a direct p=12 build (tests/test_hll_kernel.py::
+    TestFold) — so the folded estimate carries the published p=12 error
+    bound; validity-harness oracle shape (exact count + 3-sigma bound
+    flag), the reference's own accuracy-test pattern."""
+    from hyperloglog_spark.functions import (
+        hll_sketch_agg,
+        register_sql_functions,
+    )
+    from hyperloglog_spark.sketch import hll
+
+    register_sql_functions(spark)
+    ev = _t(spark, sf_dir, "events")
+    est = hll_sketch_agg(ev, "user_id", p=16).select(
+        F.expr("hll_estimate(hll_fold(sketch, 12))").alias("__est")
+    )
+    exact = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    se = 3.0 * hll.error_bound(12)
+    return exact.crossJoin(est).select(
+        "n_users_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_users_exact"))
+            <= F.ceil(F.col("n_users_exact") * F.lit(se))
+        ).alias("est_in_bound"),
+    )
+
+
 def q_hll_sliding_window_users(spark, sf_dir):
     """Sliding-window distinct users (1-day windows sliding 12 h): each
     event lands in exactly window/slide = 2 windows via an Expand-shaped
@@ -1073,6 +1159,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
     "hll_sliding_window_users": q_hll_sliding_window_users,
+    "hll_fold_verified": q_hll_fold_verified,
+    "hll_jaccard_priorities": q_hll_jaccard_priorities,
     "neardup_clusters_documents": q_neardup_clusters_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
@@ -1222,6 +1310,21 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "dedup_exact_documents":
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
         "GROUP BY text ORDER BY doc_id",
+    "hll_jaccard_priorities": """
+WITH a AS (SELECT count(DISTINCT o_custkey) AS ca FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     v AS (SELECT count(DISTINCT o_custkey) AS cv FROM orders
+           WHERE o_orderpriority = '5-LOW'),
+     u AS (SELECT count(DISTINCT o_custkey) AS cu FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+SELECT CAST(floor(1000.0 * (greatest(0, ca + cv - cu) / cu)) AS BIGINT)
+         AS jaccard_exact_permille,
+       TRUE AS est_in_bound
+FROM a, v, u
+""",
+    "hll_fold_verified":
+        "SELECT count(DISTINCT user_id) AS n_users_exact, "
+        "TRUE AS est_in_bound FROM events WHERE user_id IS NOT NULL",
     "hll_sliding_window_users": """
 WITH e AS (
   SELECT user_id,
