@@ -108,6 +108,58 @@ def test_ngram_jaccard_prefix_filter_exhaustive_parity(docs):
     assert len(_exact_pairs(500)) > 0
 
 
+def test_ngram_jaccard_randomized_corpora_parity(spark):
+    """Randomized small corpora with edge cases (empty-ish docs, single
+    token, exact duplicates, near-duplicates, threshold 1000): the
+    prefix-filter output must equal brute-force exact Jaccard on hashed
+    shingle sets for every threshold tried."""
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))
+        toks = list(rng.choice(vocab, size=n))
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.3:           # exact duplicate
+            rows.append((1000 + i, " ".join(toks)))
+        if rng.random() < 0.3 and n > 4:  # near-duplicate (one token off)
+            toks2 = list(toks)
+            toks2[int(rng.integers(0, n))] = "zz"
+            rows.append((2000 + i, " ".join(toks2)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        if len(w) < n:
+            return {text}
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    for t in (400, 800, 1000):
+        want = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                pm = int(np.floor(inter * 1000.0 /
+                                  len(sets[a] | sets[b])))
+                if pm >= t:
+                    want[(a, b)] = pm
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard_permille"]
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", threshold_permille=t
+            ).collect()
+        }
+        assert got == want, f"threshold {t}"
+    assert want  # t=1000: exact duplicates exist, so non-vacuous
+
+
 def test_ngram_jaccard_observes_dropped_postings(docs):
     from pyspark.sql import Observation
 
