@@ -1130,6 +1130,60 @@ FROM walk GROUP BY id ORDER BY doc_id
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (transcripts.sessionize): per-user session
+    boundaries at a 4-hour inactivity gap, rolled up to one row per user.
+    EXACT oracle: the session assignment is integer/IEEE-deterministic
+    (epoch doubles subtract identically in any engine; event_id breaks
+    timestamp ties), so DuckDB's window replay matches bit-for-bit."""
+    from hyperloglog_spark.transcripts import session_stats
+
+    st = session_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts",
+        gap_s=14400, order_by="event_id",
+    )
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").alias("longest_session_events"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_bloom_join_urgent_revenue(spark, sf_dir):
+    """Bloom semi-join reduction (membership.bloom_filtered_join): prune
+    lineitem against a Bloom of URGENT order keys before the exact join.
+    EXACT oracle: no false negatives + exact-join FP removal means the
+    result equals the plain join; revenue summed as per-row floored cents
+    (integer addition — associative, partitioning-independent)."""
+    from hyperloglog_spark.membership import bloom_filtered_join
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    j = bloom_filtered_join(
+        _t(spark, sf_dir, "lineitem"), urgent, "l_orderkey", fpp=0.001
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("long")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -1157,6 +1211,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash_pairs": q_neardup_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "salted_hot_key_agg": q_salted_hot_key_agg,
+    "sessionize_events": q_sessionize_events,
+    "bloom_join_urgent_revenue": q_bloom_join_urgent_revenue,
     "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
     "hll_sliding_window_users": q_hll_sliding_window_users,
     "hll_fold_verified": q_hll_fold_verified,
@@ -1344,6 +1400,38 @@ FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
         "SELECT event_type, count(*) AS n_events, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type",
+    "sessionize_events": """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 14400.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+), g AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         CAST(floor((max(t) - min(t)) * 1000.0) AS BIGINT) AS duration_ms
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events) AS longest_session_events,
+       max(duration_ms) AS max_duration_ms
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+    "bloom_join_urgent_revenue": """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     "ngram_jaccard_pairs": """
 WITH s AS (
   SELECT doc_id,

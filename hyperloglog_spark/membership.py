@@ -24,6 +24,7 @@ __all__ = [
     "bloom_build",
     "bloom_agg",
     "with_might_contain",
+    "bloom_filtered_join",
 ]
 
 
@@ -120,3 +121,56 @@ def with_might_contain(
 
     hcol = F.xxhash64(*[F.col(c) for c in cols])
     return df.withColumn(alias, probe(hcol))
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    expected_items: int | None = None,
+    fpp: float = 0.001,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Join with a Bloom semi-join reduction on the big side — the
+    runtime-filter pattern, as an explicit operator.
+
+    Builds a Bloom filter over the small side's join keys (two-phase
+    distributed OR-merge; the driver holds ``m_bits/8`` bytes), probes it
+    on the big side BEFORE the join, and then performs the exact join.
+    The filter has no false negatives, and the exact join removes the
+    false positives, so the result equals ``big.join(small, on, how)``
+    row-for-row. Restricted to ``how`` in ('inner', 'left_semi') — the
+    only semantics where discarding non-matching big rows is sound (an
+    outer/anti join must keep them).
+
+    100 TB rationale: in a fact-dim join the dominant cost is shuffling
+    the fact side. The probe is a JVM xxhash64 plus an Arrow-batch bit
+    test applied right after the scan, so the fact side's shuffle (and
+    spill) volume shrinks by the join selectivity (+fpp). Spark's own
+    runtime bloom (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+    applies the same idea only when the optimizer can prove selectivity;
+    this operator makes the bit budget (``fpp``/``m_bits``) and the
+    build side explicit. If ``expected_items`` / ``m_bits`` are omitted,
+    one small-side ``count()`` job sizes the filter (cheap by the
+    operator's own premise that ``small`` is the small side).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom_filtered_join is sound only for how in "
+            f"('inner', 'left_semi'); got {how!r}"
+        )
+    on = [on] if isinstance(on, str) else list(on)
+    if expected_items is None and (m_bits is None or k is None):
+        expected_items = max(small.count(), 1)
+    flt = bloom_build(
+        small, on, expected_items=expected_items, fpp=fpp, m_bits=m_bits, k=k
+    )
+    flag = "__bloom_might__"
+    pruned = (
+        with_might_contain(big, on, flt, alias=flag)
+        .filter(F.col(flag))
+        .drop(flag)
+    )
+    return pruned.join(small, on, how)

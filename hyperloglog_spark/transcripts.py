@@ -29,6 +29,8 @@ __all__ = [
     "latency_quantiles",
     "conversation_membership",
     "ordering_invariant_violations",
+    "sessionize",
+    "session_stats",
     "with_salted_key",
     "with_sliding_windows",
 ]
@@ -111,6 +113,86 @@ def ordering_invariant_violations(df: DataFrame, source: DataFrame) -> DataFrame
     b = source.select("conv_id", "turn_idx", F.col("text").alias("text_b"))
     joined = a.join(b, ["conv_id", "turn_idx"], "full_outer")
     return joined.filter(~F.col("text_a").eqNullSafe(F.col("text_b")))
+
+
+def sessionize(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    gap_s: float,
+    order_by: str | list[str] | None = None,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based session assignment: within each ``partition_by`` key, a
+    new session starts whenever the time since the previous row exceeds
+    ``gap_s`` seconds (strictly greater — a gap of exactly ``gap_s``
+    continues the session). Adds a 0-based bigint ``session_col``.
+
+    The classic transcript/clickstream sessionization: one shuffle (the
+    window's partitionBy), one sort; the lag and the running sum share
+    that single sort (both window specs are identical, Catalyst plans one
+    Window node). Ordering inside a key is (ts, *order_by) — pass an id
+    column as tiebreaker to make equal-timestamp rows deterministic.
+
+    Scale: a hot key sorts in ONE task — inherent to ordered
+    sessionization (salting would split sessions). Spark's window sort is
+    an UnsafeExternalSorter, so a pathological key spills to disk rather
+    than OOM; for conversation transcripts the key (conv_id) is bounded
+    by conversation length, which is exactly why the north rule keys
+    sessions on conv_id and not on a global entity.
+    """
+    partition_by = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by or [])
+    # NTZ -> TIMESTAMP -> epoch seconds (session TZ pinned UTC by get_spark)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in order_by]
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(float(gap_s))), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col, (F.sum(is_new).over(cum) - F.lit(1)).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    gap_s: float,
+    order_by: str | list[str] | None = None,
+) -> DataFrame:
+    """Per-session aggregate over :func:`sessionize` output: one row per
+    (key, session_idx) with ``n_events``, ``start_s``/``end_s`` (epoch
+    seconds) and ``duration_ms`` (bigint — floor of an IEEE-identical
+    double difference, so any engine reproduces it bit-for-bit).
+
+    Two exchanges total: the sessionize window shuffle on the key, then
+    the groupBy on (key, session_idx) — partial aggregation runs map-side
+    first, so the second exchange carries one row per session, not per
+    event."""
+    partition_by = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    s = sessionize(df, partition_by, ts_col, gap_s, order_by=order_by)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    return (
+        s.groupBy(*partition_by, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(epoch).alias("start_s"),
+            F.max(epoch).alias("end_s"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.floor((F.col("end_s") - F.col("start_s")) * F.lit(1000.0))
+            .cast("long"),
+        )
+    )
 
 
 def with_sliding_windows(

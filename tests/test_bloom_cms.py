@@ -132,6 +132,61 @@ class TestBloomSpark:
         assert grouped.count() == events.select("event_type").distinct().count()
 
 
+class TestBloomFilteredJoin:
+    def _sides(self, spark):
+        # big: 20k rows keyed 0..1999; small: 50 keys, only half of which
+        # exist in big (so the join is selective both ways)
+        big = spark.range(20_000).select(
+            (F.col("id") % 2_000).alias("key"), F.col("id").alias("payload")
+        )
+        small = spark.range(50).select(
+            (F.col("id") * 79).alias("key"), F.col("id").alias("tag")
+        )
+        return big, small
+
+    def test_inner_equals_plain_join(self, spark):
+        from hyperloglog_spark.membership import bloom_filtered_join
+
+        big, small = self._sides(spark)
+        got = sorted(bloom_filtered_join(big, small, "key").collect())
+        want = sorted(big.join(small, "key").collect())
+        assert got == want and len(want) > 0
+
+    def test_left_semi_equals_plain_and_fps_removed(self, spark):
+        """A deliberately tiny filter (64 bits for 50 keys) floods the
+        probe with false positives — the exact join must still remove
+        every one of them."""
+        from hyperloglog_spark.membership import bloom_filtered_join
+
+        big, small = self._sides(spark)
+        got = sorted(
+            bloom_filtered_join(
+                big, small, "key", how="left_semi", m_bits=64, k=1
+            ).collect()
+        )
+        want = sorted(big.join(small, "key", "left_semi").collect())
+        assert got == want
+
+    def test_unsound_join_types_rejected(self, spark):
+        from hyperloglog_spark.membership import bloom_filtered_join
+
+        big, small = self._sides(spark)
+        for how in ("left", "left_outer", "full", "left_anti"):
+            with pytest.raises(ValueError):
+                bloom_filtered_join(big, small, "key", how=how)
+
+    def test_probe_filters_before_join(self, spark):
+        """The scale contract: the Bloom probe (ArrowEvalPython) must sit
+        on the big side BELOW the join, and no cartesian appears."""
+        from hyperloglog_spark.membership import bloom_filtered_join
+
+        big, small = self._sides(spark)
+        q = bloom_filtered_join(big, small, "key", fpp=0.001)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestCmsSpark:
     def test_topk_matches_exact(self, events):
         got = cms_topk(events, "event_type", k=5).collect()

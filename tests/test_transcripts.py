@@ -167,6 +167,73 @@ class TestFlagshipQueries:
         assert a == b
 
 
+class TestSessionize:
+    def _frame(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: gaps 10, 10, 5000, 10 -> sessions [0,0,0,1,1] at gap 100
+        for i, off in enumerate([0, 10, 20, 5020, 5030]):
+            rows.append((1, i, base + dt.timedelta(seconds=off)))
+        # user 2: single event
+        rows.append((2, 0, base))
+        # user 3: gap exactly == gap_s stays in-session; +1s starts a new one
+        rows.append((3, 0, base))
+        rows.append((3, 1, base + dt.timedelta(seconds=100)))
+        rows.append((3, 2, base + dt.timedelta(seconds=201)))
+        return spark.createDataFrame(rows, ["uid", "eid", "ts"])
+
+    def test_assignment_and_boundary(self, spark):
+        out = tq.sessionize(
+            self._frame(spark), "uid", "ts", gap_s=100, order_by="eid"
+        )
+        got = {
+            (r["uid"], r["eid"]): r["session_idx"] for r in out.collect()
+        }
+        assert got == {
+            (1, 0): 0, (1, 1): 0, (1, 2): 0, (1, 3): 1, (1, 4): 1,
+            (2, 0): 0,
+            (3, 0): 0, (3, 1): 0,  # gap == gap_s continues the session
+            (3, 2): 1,             # gap_s + 1 starts a new one
+        }
+
+    def test_partitioning_invariant(self, spark):
+        df = self._frame(spark)
+        a = sorted(
+            tq.sessionize(df, "uid", "ts", 100, order_by="eid").collect()
+        )
+        b = sorted(
+            tq.sessionize(
+                df.repartition(7), "uid", "ts", 100, order_by="eid"
+            ).collect()
+        )
+        assert a == b
+
+    def test_session_stats(self, spark):
+        out = tq.session_stats(
+            self._frame(spark), "uid", "ts", gap_s=100, order_by="eid"
+        )
+        got = {
+            (r["uid"], r["session_idx"]): (r["n_events"], r["duration_ms"])
+            for r in out.collect()
+        }
+        assert got == {
+            (1, 0): (3, 20_000), (1, 1): (2, 10_000),
+            (2, 0): (1, 0),
+            (3, 0): (2, 100_000), (3, 1): (1, 0),
+        }
+
+    def test_one_shuffle(self, spark):
+        """lag + running sum must share ONE Window shuffle+sort — the
+        point of giving both the same window spec."""
+        from hyperloglog_spark.engine.plans import assert_max_exchanges
+
+        q = tq.sessionize(self._frame(spark), "uid", "ts", 100,
+                          order_by="eid")
+        assert_max_exchanges(q, 1)
+
+
 def test_chunked_write_disjoint_conv_namespaces(tmp_path):
     """Uneven trailing chunk must not reuse earlier conv-id ranges
     (ADVICE round 1: per-chunk ci*convs_c offsets overlapped)."""
