@@ -1154,6 +1154,32 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_session_window_events(spark, sf_dir):
+    """Native merging session windows (streaming.session_window_stats,
+    batch mode) — same 4-hour-gap sessions as sessionize_events, computed
+    by Spark's MergingSessions operator instead of a window-function
+    replay. Semantics proven identical (touching windows merge == the
+    strictly-greater gap test), so the SAME window-replay SQL is the
+    oracle. Exercises the batch AQE-coalesce workaround (without the
+    pinned repartition, MergingSessions returns zero rows under AQE)."""
+    from hyperloglog_spark.streaming import session_window_stats
+
+    st = session_window_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts",
+        gap_s=14400, watermark_delay=None,
+    )
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").alias("longest_session_events"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_bloom_join_urgent_revenue(spark, sf_dir):
     """Bloom semi-join reduction (membership.bloom_filtered_join): prune
     lineitem against a Bloom of URGENT order keys before the exact join.
@@ -1212,6 +1238,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "sessionize_events": q_sessionize_events,
+    "session_window_events": q_session_window_events,
     "bloom_join_urgent_revenue": q_bloom_join_urgent_revenue,
     "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
     "hll_sliding_window_users": q_hll_sliding_window_users,
@@ -1401,6 +1428,30 @@ FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type",
     "sessionize_events": """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 14400.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+), g AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         CAST(floor((max(t) - min(t)) * 1000.0) AS BIGINT) AS duration_ms
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events) AS longest_session_events,
+       max(duration_ms) AS max_duration_ms
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+    "session_window_events": """
 WITH e AS (
   SELECT user_id, event_id, epoch(ts) AS t FROM events
 ), f AS (

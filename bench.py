@@ -72,6 +72,7 @@ def main() -> None:
         near_dup_clusters, near_dup_pairs, ngram_jaccard_pairs,
         quality_score,
     )
+    from hyperloglog_spark.membership import bloom_filtered_join
     from hyperloglog_spark.pipeline.similarity import (
         fit_ivf_centroids_distributed,
     )
@@ -156,6 +157,23 @@ def main() -> None:
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
             trans, ["conv_id", "text", "tool"]),
+        # gap-based sessionization over every conversation (one window
+        # shuffle + per-session agg), reduced to a 1-row summary so the
+        # collect measures the operator, not driver transfer
+        "sessionize_transcripts": lambda: tq.session_stats(
+            trans, "conv_id", "ts", gap_s=600, order_by="turn_idx"
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        ),
+        # Bloom semi-join reduction: fact-side probe before the exact join
+        "bloom_join_lineitem": lambda: bloom_filtered_join(
+            t(spark, "lineitem"),
+            t(spark, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey", fpp=0.001,
+        ).groupBy("l_returnflag").count(),
     }
 
     # stored-sketch rollup: persist per-(role, tool) HLL shards once, then

@@ -1,5 +1,6 @@
 """Structured Streaming surface for the sketch library."""
 
+from .sessions import session_window_stats
 from .sketches import (
     sketch_shard_sink,
     streaming_approx_distinct,
@@ -10,6 +11,7 @@ from .sketches import (
 )
 
 __all__ = [
+    "session_window_stats",
     "sketch_shard_sink",
     "streaming_sketch_agg",
     "streaming_approx_distinct",

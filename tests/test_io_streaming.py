@@ -303,3 +303,101 @@ def test_streaming_cms_sketch_rows_point_query(spark, tmp_path):
         F.xxhash64("tool")).distinct().collect()], dtype=np.int64)
     est = cms.point_query(sk, h.view(np.uint64))
     assert sorted(est.tolist()) == [300] * 7   # exact counts per tool
+
+
+def test_session_window_batch_parity_with_sessionize(spark):
+    """Away from exact-boundary gaps, native session_window sessions must
+    equal the batch window-function sessionize: same session count per key
+    and same (n_events, duration_ms) multiset."""
+    import datetime as dt
+
+    from hyperloglog_spark.streaming import session_window_stats
+    from hyperloglog_spark.transcripts import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    offs = {
+        1: [0, 30, 70, 500, 520, 1500],     # gaps 30,40,430,20,980
+        2: [0],
+        3: [0, 99, 301, 950],               # gaps 99,202,649
+    }
+    for uid, ts_list in offs.items():
+        for i, off in enumerate(ts_list):
+            rows.append((uid, i, base + dt.timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, ["uid", "eid", "ts"])
+
+    got = sorted(
+        (r["uid"], r["n_events"], r["duration_ms"])
+        for r in session_window_stats(
+            df, "uid", "ts", gap_s=100, watermark_delay=None
+        ).collect()
+    )
+    want = sorted(
+        (r["uid"], r["n_events"], r["duration_ms"])
+        for r in session_stats(
+            df, "uid", "ts", gap_s=100, order_by="eid"
+        ).collect()
+    )
+    assert got == want and len(got) == 7   # multiset compare: uid3 has two
+    #                                        identical 1-event sessions
+
+
+def test_session_window_boundary_matches_sessionize(spark):
+    """A gap of exactly gap_s continues the session under BOTH operators
+    (session_window merges touching [t, t+gap) windows; sessionize uses a
+    strictly-greater test) — and gap_s + 1 splits under both."""
+    import datetime as dt
+
+    from hyperloglog_spark.streaming import session_window_stats
+    from hyperloglog_spark.transcripts import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    for off_s, n_sessions in ((100, 1), (101, 2)):
+        df = spark.createDataFrame(
+            [(1, 0, base), (1, 1, base + dt.timedelta(seconds=off_s))],
+            ["uid", "eid", "ts"],
+        )
+        nw = session_window_stats(df, "uid", "ts", 100, watermark_delay=None)
+        assert nw.count() == n_sessions, off_s
+        sz = sessionize(df, "uid", "ts", 100, order_by="eid")
+        assert sz.agg(F.max("session_idx")).first()[0] == n_sessions - 1
+
+
+def test_session_window_streaming_append(spark, tmp_path):
+    """File-source stream through session_window_stats in APPEND mode:
+    with a far-future sentinel row advancing the watermark, every real
+    session is finalized and emitted exactly once, matching batch."""
+    import datetime as dt
+
+    from hyperloglog_spark.streaming import session_window_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(5):
+        for s in range(3):                       # 3 sessions per uid
+            for i in range(4):                   # 4 events per session
+                rows.append(
+                    (uid, base + dt.timedelta(seconds=s * 10_000 + i * 60))
+                )
+    rows.append((999, base + dt.timedelta(days=30)))  # watermark sentinel
+    src = str(tmp_path / "sess-src")
+    batch = spark.createDataFrame(rows, ["uid", "ts"])
+    batch.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = session_window_stats(
+        stream, "uid", "ts", gap_s=600, watermark_delay="10 seconds"
+    )
+    (out.writeStream.format("memory").queryName("q_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-sess"))
+        .trigger(availableNow=True).start().awaitTermination())
+    got = spark.sql(
+        "SELECT uid, n_events, duration_ms FROM q_sess WHERE uid < 999"
+    ).collect()
+    assert len(got) == 15                        # 5 uids x 3 sessions
+    assert all(r["n_events"] == 4 for r in got)
+    assert all(r["duration_ms"] == 180_000 for r in got)
+    # append mode emitted each finalized session exactly once
+    assert len({(r["uid"], r["duration_ms"], r["n_events"])
+                for r in got}) <= 15
