@@ -1154,6 +1154,23 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_priority_sample_documents(spark, sf_dir):
+    """Weighted sampling via priority sampling (Duffield-Lund-Thorup,
+    JACM 2007): top-k priorities w/u with unbiased max(w, tau) subset-sum
+    estimators. ALGORITHM-MIRROR oracle: md5-keyed u, one IEEE add+divide
+    per row — DuckDB replays selection AND estimates bit-for-bit."""
+    from hyperloglog_spark.pipeline import priority_sample
+
+    return (
+        priority_sample(
+            _t(spark, sf_dir, "documents"), "doc_id", "n_chars",
+            k=100, hashing="md5",
+        )
+        .select("doc_id", "n_chars", "weight_est")
+        .orderBy("doc_id")
+    )
+
+
 def q_session_window_events(spark, sf_dir):
     """Native merging session windows (streaming.session_window_stats,
     batch mode) — same 4-hour-gap sessions as sessionize_events, computed
@@ -1239,6 +1256,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
+    "priority_sample_documents": q_priority_sample_documents,
     "bloom_join_urgent_revenue": q_bloom_join_urgent_revenue,
     "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
     "hll_sliding_window_users": q_hll_sliding_window_users,
@@ -1538,6 +1556,27 @@ FROM scored
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "priority_sample_documents": """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hk
+  FROM documents
+), p AS (
+  SELECT doc_id, n_chars,
+         n_chars / ((CAST(hk AS DOUBLE) + 1.0) / 1152921504606846976.0) AS priority
+  FROM s
+), top AS (
+  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 101
+), t AS (
+  SELECT count(*) AS cnt, min(priority) AS tau FROM top
+)
+SELECT doc_id, n_chars,
+       greatest(CAST(n_chars AS DOUBLE),
+                CASE WHEN t.cnt = 101 THEN t.tau ELSE 0.0 END) AS weight_est
+FROM top, t
+QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100
+ORDER BY doc_id
 """,
     "sample_documents": """
 SELECT doc_id, ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS sample_key

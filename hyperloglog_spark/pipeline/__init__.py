@@ -30,7 +30,11 @@ from .similarity import (
     ivf_topk,
     lsh_topk,
 )
-from .sampling import deterministic_sample, stratified_sample
+from .sampling import (
+    deterministic_sample,
+    priority_sample,
+    stratified_sample,
+)
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -55,5 +59,6 @@ __all__ = [
     "quality_score",
     "token_stats",
     "deterministic_sample",
+    "priority_sample",
     "stratified_sample",
 ]

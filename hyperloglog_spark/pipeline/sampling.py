@@ -123,3 +123,66 @@ def stratified_sample(
         .filter(F.col("__rn") <= k_per_group)
         .drop("__rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    hashing: str = "xxhash64",
+    salt: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    deterministic weighted sample of k rows with UNBIASED subset-sum
+    estimators — the weighted counterpart of ``deterministic_sample``.
+
+    Each row gets priority ``q = w / u`` with ``u = (hash(id,salt)+1) /
+    2^bits`` in (0, 1]; the k largest priorities are kept and every kept
+    row carries ``weight_est = max(w, tau)`` where ``tau`` is the
+    (k+1)-th largest priority (0 when nothing was truncated, so the
+    sample is exact). For ANY subset S, E[sum of weight_est over kept
+    rows of S] equals the true sum of w over S — heavy rows (w >= tau)
+    are always kept, light rows are kept with probability w/tau and
+    compensated to tau.
+
+    Determinism/scale: the only arithmetic is one IEEE add+divide per row
+    (no transcendentals), so any engine reproduces the selection and the
+    estimates bit-for-bit ("md5" mode for cross-engine oracles, xxhash64
+    JVM default). Selection is top-(k+1) by (priority, id) — Catalyst's
+    TakeOrderedAndProject: per-partition heaps, no global sort, and the
+    same min-k merge law as bottom-k (it IS bottom-k on u/w), so
+    per-shard samples merge exactly. The tau/rank window then runs over
+    k+1 rows only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key = _sample_key(id_col, hashing, salt)
+    if hashing == "xxhash64":
+        # signed 64-bit -> (0, 1]: shift into [1, 2^64], divide by 2^64
+        u = (
+            key.cast("double") + F.lit(9.223372036854775808e18) + F.lit(1.0)
+        ) / F.lit(1.8446744073709551616e19)
+    else:
+        # md5 mode: 60-bit non-negative key -> (0, 1] over 2^60
+        u = (key.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    top = (
+        df.withColumn("priority", F.col(weight_col) / u)
+        .orderBy(F.desc("priority"), id_col)
+        .limit(k + 1)
+    )
+    everything = Window.partitionBy()
+    rank_w = Window.orderBy(F.desc("priority"), id_col)
+    tau = F.when(
+        F.count(F.lit(1)).over(everything) == k + 1,
+        F.min("priority").over(everything),
+    ).otherwise(F.lit(0.0))
+    return (
+        top.withColumn("__tau", tau)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= k)
+        .withColumn(
+            "weight_est", F.greatest(F.col(weight_col), F.col("__tau"))
+        )
+        .drop("__rn", "__tau")
+    )

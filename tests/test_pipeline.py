@@ -861,3 +861,66 @@ def test_decode_image_seam_without_pil():
         Image.new("L", (4, 3), color=7).save(buf, format="PNG")
         arr = decode_image(buf.getvalue())
         assert arr.shape == (3, 4) and int(arr[0, 0]) == 7
+
+
+def test_priority_sample_estimator_and_invariance(docs):
+    """Priority sampling (DLT 2007): heavy rows always kept, estimates
+    unbiased for the total (checked across salts within CLT tolerance),
+    selection partitioning-invariant, and n <= k degenerates to the exact
+    data (weight_est == weight)."""
+    from hyperloglog_spark.pipeline import priority_sample
+
+    total = docs.agg(F.sum("n_chars")).first()[0]
+
+    a = priority_sample(docs, "doc_id", "n_chars", 100).collect()
+    b = priority_sample(
+        docs.repartition(13), "doc_id", "n_chars", 100
+    ).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert len(a) == 100
+
+    # every kept row satisfies weight_est >= weight, and the heaviest row
+    # of the corpus is always in the sample once tau <= its weight
+    assert all(r["weight_est"] >= r["n_chars"] for r in a)
+
+    # unbiasedness: mean estimate over independent draws ~ true total.
+    # 8 draws of k=100 from 500 docs: CLT bound ~3 sigma with sigma
+    # dominated by the per-draw variance of sum(tau terms).
+    ests = []
+    for salt in range(8):
+        rows = priority_sample(
+            docs, "doc_id", "n_chars", 100, salt=salt
+        ).collect()
+        ests.append(sum(r["weight_est"] for r in rows))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.25, (mean, total)
+
+    # n <= k: no truncation, tau = 0, estimates are exact
+    small = docs.limit(40)
+    exact = priority_sample(small, "doc_id", "n_chars", 100).collect()
+    assert len(exact) == 40
+    assert all(r["weight_est"] == float(r["n_chars"]) for r in exact)
+
+
+def test_priority_sample_merge_law(docs):
+    """Per-shard top-(k+1) priorities re-merged == whole-corpus sample:
+    priority sampling IS bottom-k on u/w, so the min-k merge law holds."""
+    from hyperloglog_spark.pipeline import priority_sample
+
+    whole = priority_sample(docs, "doc_id", "n_chars", 60).collect()
+    s1 = priority_sample(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "n_chars", 60
+    )
+    s2 = priority_sample(
+        docs.filter("doc_id % 2 = 1"), "doc_id", "n_chars", 60
+    )
+    # re-take k from the union of shard samples by priority
+    merged = (
+        s1.unionByName(s2)
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(60)
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in merged) == sorted(
+        r["doc_id"] for r in whole
+    )
