@@ -1154,6 +1154,34 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_kmv_distinct_custkeys(spark, sf_dir):
+    """KMV (bottom-k) cardinality estimate of distinct order custkeys —
+    the second distinct-count sketch family (complements HLL; the state
+    doubles as a uniform sample of the distinct keys). ALGORITHM-MIRROR +
+    validity harness: md5 keys make the k-th-minimum and the (k-1)/u_k
+    estimate bit-reproducible in SQL, and the published ~1/sqrt(k-2)
+    relative error is asserted as a 3-sigma bound flag BOTH sides compute
+    from identical arithmetic."""
+    import math
+
+    from hyperloglog_spark.pipeline import kmv_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    est = kmv_distinct(orders, "o_custkey", k=256, hashing="md5").select(
+        "n_distinct_est"
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    bound = F.lit(3.0) * F.col("n_exact") / F.sqrt(F.lit(254.0))
+    return est.crossJoin(exact).select(
+        "n_distinct_est",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact")).cast("double")
+            <= bound
+        ).alias("in_bound"),
+    )
+
+
 def q_priority_sample_documents(spark, sf_dir):
     """Weighted sampling via priority sampling (Duffield-Lund-Thorup,
     JACM 2007): top-k priorities w/u with unbiased max(w, tau) subset-sum
@@ -1257,6 +1285,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
     "priority_sample_documents": q_priority_sample_documents,
+    "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
     "bloom_join_urgent_revenue": q_bloom_join_urgent_revenue,
     "checkpoint_resume_distinct": q_checkpoint_resume_distinct,
     "hll_sliding_window_users": q_hll_sliding_window_users,
@@ -1556,6 +1585,28 @@ FROM scored
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "kmv_distinct_custkeys": """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hk
+  FROM orders
+), topk AS (
+  SELECT hk FROM h ORDER BY hk LIMIT 256
+), t AS (
+  SELECT max(hk) AS kth, count(*) AS n_kept FROM topk
+), e AS (
+  SELECT count(DISTINCT o_custkey) AS n_exact FROM orders
+), est AS (
+  SELECT CASE WHEN t.n_kept < 256 THEN t.n_kept
+         ELSE CAST(floor(255.0 / ((CAST(t.kth AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0)) AS BIGINT) END AS n_distinct_est,
+         e.n_exact
+  FROM t, e
+)
+SELECT n_distinct_est, n_exact,
+       CAST(abs(n_distinct_est - n_exact) AS DOUBLE)
+         <= 3.0 * n_exact / sqrt(254.0) AS in_bound
+FROM est
 """,
     "priority_sample_documents": """
 WITH s AS (

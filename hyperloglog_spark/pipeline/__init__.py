@@ -32,6 +32,7 @@ from .similarity import (
 )
 from .sampling import (
     deterministic_sample,
+    kmv_distinct,
     priority_sample,
     stratified_sample,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "deterministic_sample",
+    "kmv_distinct",
     "priority_sample",
     "stratified_sample",
 ]

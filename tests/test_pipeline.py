@@ -924,3 +924,28 @@ def test_priority_sample_merge_law(docs):
     assert sorted(r["doc_id"] for r in merged) == sorted(
         r["doc_id"] for r in whole
     )
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(spark, docs):
+    from hyperloglog_spark.pipeline import kmv_distinct
+
+    # known cardinality 20_000 with duplicates, k=512 -> ~1/sqrt(510) rel err
+    df = spark.range(60_000).select((F.col("id") % 20_000).alias("key"))
+    est = kmv_distinct(df, "key", k=512).first()["n_distinct_est"]
+    assert abs(est - 20_000) / 20_000 < 3 / (510 ** 0.5), est
+
+    # partitioning invariance (deterministic hash, min-k merge law)
+    est2 = kmv_distinct(
+        df.repartition(17), "key", k=512
+    ).first()["n_distinct_est"]
+    assert est == est2
+
+    # below k distinct the sketch IS the exact set
+    exact = kmv_distinct(docs, "doc_id", k=1024).first()
+    assert exact["n_distinct_est"] == 500
+
+    # md5 mode agrees within the bound (different hash family, same law)
+    m = kmv_distinct(df, "key", k=512, hashing="md5").first()[
+        "n_distinct_est"
+    ]
+    assert abs(m - 20_000) / 20_000 < 3 / (510 ** 0.5), m
