@@ -1255,6 +1255,51 @@ def q_bloom_join_urgent_revenue(spark, sf_dir):
     )
 
 
+def q_theta_set_ops_custkeys(spark, sf_dir):
+    """Theta-sketch set algebra (setops.theta_set_cardinalities): union /
+    intersection / difference cardinalities of the customers ordering in
+    1995H1 vs 1995H2 — the set-operation-closed sketch HLL cannot provide
+    (HLL merge is union-only; inclusion-exclusion compounds error and can
+    go negative). ALGORITHM-MIRROR oracle: md5 60-bit keys + the exclusive-
+    theta bottom-k arithmetic (theta = (k+1)-th smallest distinct key,
+    est = floor(count / (theta / 2^60))) replay bit-for-bit in SQL; at
+    sf0.001 both sides are exact (< k distinct), at sf0.01+ the estimation
+    regime is exercised. Everything stays lazy: two one-row sketch frames
+    cross-joined, four scalar-UDF set ops over KB-sized states."""
+    from hyperloglog_spark.setops import (
+        theta_set_cardinalities,
+        theta_sketch_agg,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = theta_sketch_agg(
+        orders.filter("o_orderdate < timestamp'1995-07-01'"),
+        "o_custkey", k=256, hashing="md5",
+    )
+    b = theta_sketch_agg(
+        orders.filter(
+            "o_orderdate >= timestamp'1995-07-01'"
+            " AND o_orderdate < timestamp'1996-01-01'"
+        ),
+        "o_custkey", k=256, hashing="md5",
+    )
+    return theta_set_cardinalities(a, b)
+
+
+def q_theta_distinct_by_priority(spark, sf_dir):
+    """Grouped theta distinct-count (setops.theta_distinct): per-priority
+    distinct custkeys at k=64 — exercises the grouped two-phase build +
+    min-k union merge. ALGORITHM-MIRROR oracle: the (k+1)-th-smallest-key
+    threshold and floor(k / theta_frac) estimate replayed per group with
+    one window function."""
+    from hyperloglog_spark.setops import theta_distinct
+
+    return theta_distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        group_by="o_orderpriority", k=64, hashing="md5",
+    ).orderBy("o_orderpriority")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -1306,6 +1351,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_features": q_multimodal_features,
+    "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
+    "theta_distinct_by_priority": q_theta_distinct_by_priority,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1694,6 +1741,80 @@ FROM pm ORDER BY doc_id
         "(['image','audio','video'])[doc_id % 3 + 1] AS kind, "
         "octet_length(encode(text)) AS n_bytes "
         "FROM documents ORDER BY asset_id",
+    # Exclusive-theta bottom-k mirror: retained = k smallest distinct md5
+    # keys, theta = (k+1)-th (NULL => exact); set ops keep keys below
+    # min(theta_a, theta_b); union re-clips to k; est = floor(cnt/(t/2^60)).
+    "theta_set_ops_custkeys": """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hk
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+), hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hk
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+), ra AS (SELECT hk FROM ha ORDER BY hk LIMIT 256),
+   rb AS (SELECT hk FROM hb ORDER BY hk LIMIT 256),
+   th AS (
+     SELECT (SELECT hk FROM ha ORDER BY hk LIMIT 1 OFFSET 256) AS ta,
+            (SELECT hk FROM hb ORDER BY hk LIMIT 1 OFFSET 256) AS tb
+), ct AS (
+  SELECT CASE WHEN ta IS NULL THEN tb WHEN tb IS NULL THEN ta
+              ELSE least(ta, tb) END AS t FROM th
+), um AS (
+  SELECT hk FROM (SELECT hk FROM ra UNION SELECT hk FROM rb)
+  WHERE (SELECT t FROM ct) IS NULL OR hk < (SELECT t FROM ct)
+), uk AS (SELECT hk FROM um ORDER BY hk LIMIT 256),
+   ut AS (
+     SELECT coalesce((SELECT hk FROM um ORDER BY hk LIMIT 1 OFFSET 256),
+                     (SELECT t FROM ct)) AS t
+), im AS (
+  SELECT hk FROM ra WHERE hk IN (SELECT hk FROM rb)
+    AND ((SELECT t FROM ct) IS NULL OR hk < (SELECT t FROM ct))
+), am AS (
+  SELECT hk FROM ra WHERE hk NOT IN (SELECT hk FROM rb)
+    AND ((SELECT t FROM ct) IS NULL OR hk < (SELECT t FROM ct))
+), bm AS (
+  SELECT hk FROM rb WHERE hk NOT IN (SELECT hk FROM ra)
+    AND ((SELECT t FROM ct) IS NULL OR hk < (SELECT t FROM ct))
+)
+SELECT
+  CASE WHEN (SELECT t FROM ut) IS NULL THEN (SELECT count(*) FROM uk)
+       ELSE CAST(floor((SELECT count(*) FROM uk) /
+            (CAST((SELECT t FROM ut) AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+  END AS n_union,
+  CASE WHEN (SELECT t FROM ct) IS NULL THEN (SELECT count(*) FROM im)
+       ELSE CAST(floor((SELECT count(*) FROM im) /
+            (CAST((SELECT t FROM ct) AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+  END AS n_intersect,
+  CASE WHEN (SELECT t FROM ct) IS NULL THEN (SELECT count(*) FROM am)
+       ELSE CAST(floor((SELECT count(*) FROM am) /
+            (CAST((SELECT t FROM ct) AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+  END AS n_a_not_b,
+  CASE WHEN (SELECT t FROM ct) IS NULL THEN (SELECT count(*) FROM bm)
+       ELSE CAST(floor((SELECT count(*) FROM bm) /
+            (CAST((SELECT t FROM ct) AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+  END AS n_b_not_a
+""",
+    "theta_distinct_by_priority": """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         ('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hk
+  FROM orders
+), r AS (
+  SELECT o_orderpriority, hk,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY hk) AS rn
+  FROM h
+), g AS (
+  SELECT o_orderpriority, count(*) AS cnt,
+         max(CASE WHEN rn = 65 THEN hk END) AS th
+  FROM r GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CASE WHEN th IS NULL THEN cnt
+            ELSE CAST(floor(64.0 /
+                 (CAST(th AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
+       END AS n_distinct_est
+FROM g ORDER BY o_orderpriority
+""",
 }
 
 

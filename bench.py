@@ -76,6 +76,9 @@ def main() -> None:
     from hyperloglog_spark.pipeline.similarity import (
         fit_ivf_centroids_distributed,
     )
+    from hyperloglog_spark.setops import (
+        theta_set_cardinalities, theta_sketch_agg,
+    )
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -165,6 +168,13 @@ def main() -> None:
         ).groupBy().agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
+        ),
+        # theta set algebra: two bottom-k sketch builds over the full turn
+        # stream + lazy union/intersect/diff — the set-op-closed family
+        "theta_setops_transcripts": lambda: theta_set_cardinalities(
+            theta_sketch_agg(trans.filter(F.col("role") == "user"), "text"),
+            theta_sketch_agg(
+                trans.filter(F.col("role") == "assistant"), "text"),
         ),
         # Bloom semi-join reduction: fact-side probe before the exact join
         "bloom_join_lineitem": lambda: bloom_filtered_join(

@@ -1,8 +1,9 @@
 """hyperloglog_spark — PySpark-native distributed sketch library.
 
-Mergeable sketches (HyperLogLog++, count-min, Bloom, KLL, t-digest) as
-BinaryType aggregators with explicit two-phase partial aggregation, built
-for transcripts-scale tables (see SURVEY.md / BASELINE.json).
+Mergeable sketches (HyperLogLog++, count-min, Bloom, KLL, t-digest,
+theta) as BinaryType aggregators with explicit two-phase partial
+aggregation, built for transcripts-scale tables (see SURVEY.md /
+BASELINE.json).
 """
 
 from .frequency import cms_agg, cms_point_query_udf, cms_topk
@@ -22,6 +23,12 @@ from .functions import (
 from .membership import bloom_agg, bloom_build, with_might_contain
 from .quantiles import approx_quantiles, kll_agg, tdigest_agg
 from .rollup import hll_rollup, merge_sketches, quantiles_rollup
+from .setops import (
+    register_theta_sql_functions,
+    theta_distinct,
+    theta_set_cardinalities,
+    theta_sketch_agg,
+)
 
 __version__ = "0.1.0"
 
@@ -46,6 +53,10 @@ __all__ = [
     "merge_sketches",
     "quantiles_rollup",
     "register_sql_functions",
+    "register_theta_sql_functions",
+    "theta_distinct",
+    "theta_set_cardinalities",
+    "theta_sketch_agg",
     "with_error_bounds",
     "tdigest_agg",
     "with_might_contain",

@@ -13,7 +13,7 @@ internal-only, /root/reference/HyperLogLog/EstimatorState.cs:5-12); its
 n-ary `Merge(IList)` (/root/reference/HyperLogLog/HyperLogLog.cs:788-803)
 is the single-process seed of this operator. Our codec envelope is
 self-describing (magic/version/kind — sketch/codec.py), so ONE operator
-serves all five sketch kinds; a group whose cells mix kinds (or, for HLL,
+serves all six sketch kinds; a group whose cells mix kinds (or, for HLL,
 precisions — mirroring the equal-m check at HyperLogLog.cs:740-744)
 raises rather than merging garbage.
 
@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .engine.aggregate import SKETCH_COL, _group_field, _isna, _to_arrow
-from .sketch import bloom, cms, codec, hll, kll, tdigest
+from .sketch import bloom, cms, codec, hll, kll, tdigest, theta
 
 __all__ = ["merge_sketches", "hll_rollup", "quantiles_rollup"]
 
@@ -45,6 +45,7 @@ _MERGERS = {
     codec.KIND_BLOOM: bloom.merge_many,
     codec.KIND_KLL: kll.merge_many,
     codec.KIND_TDIGEST: tdigest.merge_many,
+    codec.KIND_THETA: theta.union_many,
 }
 
 

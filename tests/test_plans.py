@@ -179,3 +179,31 @@ def test_verified_distinct_prunes_both_scans(events):
     assert scan_columns(q) == {"user_id"}
     assert "SortMergeJoin" not in \
         q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_theta_grouped_single_shuffle_pruned(events):
+    from hyperloglog_spark.setops import theta_distinct
+
+    q = theta_distinct(events, "user_id", group_by="event_type", k=256)
+    assert_pruned_scan(q, {"user_id", "event_type"})
+    # same two-phase contract as HLL: partial bottom-k states per
+    # (partition, group), ONE Exchange of <= (8k+24)-byte sketch rows
+    assert_max_exchanges(q, 1)
+
+
+def test_theta_set_cardinalities_no_sortmerge(events):
+    from hyperloglog_spark.setops import (
+        theta_set_cardinalities,
+        theta_sketch_agg,
+    )
+
+    a = theta_sketch_agg(events.filter(F.col("event_type") == "view"),
+                         "user_id")
+    b = theta_sketch_agg(events.filter(F.col("event_type") == "purchase"),
+                         "user_id")
+    q = theta_set_cardinalities(a, b)
+    assert scan_columns(q) == {"user_id", "event_type"}
+    # two 1-row sketch frames composed lazily: the cross join must stay a
+    # broadcast nested loop over single rows, never a shuffled join
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

@@ -102,6 +102,18 @@ class TestOtherKinds:
         direct = bytes(cms_agg(events, "event_type").collect()[0][0])
         assert rolled == direct
 
+    def test_theta_rollup_byte_identical(self, events):
+        # theta union is the min-k merge law: deterministic and
+        # bracketing-insensitive, so rolled bytes == direct-build bytes
+        from hyperloglog_spark.setops import theta_sketch_agg
+
+        shards = theta_sketch_agg(events, "user_id", group_by="day", k=128)
+        rolled = bytes(merge_sketches(shards).collect()[0][0])
+        direct = bytes(
+            theta_sketch_agg(events, "user_id", k=128).collect()[0][0]
+        )
+        assert rolled == direct
+
     def test_kll_rollup_merges(self, events):
         shards = kll_agg(events, "value", group_by="day")
         rolled = bytes(merge_sketches(shards).collect()[0][0])
