@@ -1300,6 +1300,42 @@ def q_theta_distinct_by_priority(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q_asof_join_purchase_view(spark, sf_dir):
+    """Temporal as-of join (pipeline.temporal.asof_join): each purchase
+    event attached to the user's most recent prior view within 7 days —
+    the feature-attribution primitive Spark lacks natively. Runs the
+    BUCKETED scale path (bounded partitions under key skew; proven
+    row-identical to the single-window path in test_temporal.py); the
+    oracle is DuckDB's native ASOF LEFT JOIN with the tolerance applied
+    as a post-match null-out (equivalent: the as-of match is the nearest
+    qualifying row, so beyond-tolerance == no match)."""
+    from hyperloglog_spark.pipeline import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        purchases, views, by="user_id", left_on="ts",
+        tolerance_s=604_800.0, suffix="_v", bucket_s=86_400.0 * 30,
+    )
+    # floor, not cast: DuckDB ::BIGINT rounds doubles, Spark cast truncates
+    epoch = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("timestamp").cast("double")
+    ).cast("long")
+    return out.select(
+        "event_id", "user_id",
+        epoch("ts").alias("ts_s"),
+        epoch("ts_v").alias("view_ts_s"),
+        F.col("view_value_v").alias("view_value"),
+    ).orderBy("event_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -1353,6 +1389,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
     "theta_distinct_by_priority": q_theta_distinct_by_priority,
+    "asof_join_purchase_view": q_asof_join_purchase_view,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1814,6 +1851,21 @@ SELECT o_orderpriority,
                  (CAST(th AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)
        END AS n_distinct_est
 FROM g ORDER BY o_orderpriority
+""",
+    "asof_join_purchase_view": """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+       CASE WHEN v.ts IS NOT NULL AND epoch(p.ts) - epoch(v.ts) <= 604800
+            THEN CAST(floor(epoch(v.ts)) AS BIGINT) END AS view_ts_s,
+       CASE WHEN v.ts IS NOT NULL AND epoch(p.ts) - epoch(v.ts) <= 604800
+            THEN v.view_value END AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
 """,
 }
 

@@ -68,7 +68,7 @@ def main() -> None:
     )
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
-        brute_force_topk, embedding_neardup_pairs, ivf_topk,
+        asof_join, brute_force_topk, embedding_neardup_pairs, ivf_topk,
         near_dup_clusters, near_dup_pairs, ngram_jaccard_pairs,
         quality_score,
     )
@@ -168,6 +168,20 @@ def main() -> None:
         ).groupBy().agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
+        ),
+        # as-of join: every assistant turn -> most recent prior user turn
+        # in its conversation (one window shuffle, no range join), reduced
+        # to a 1-row summary so collect measures the operator
+        "asof_join_transcripts": lambda: asof_join(
+            trans.filter(F.col("role") == "assistant")
+            .select("conv_id", "ts", "turn_idx"),
+            trans.filter(F.col("role") == "user")
+            .groupBy("conv_id", "ts")
+            .agg(F.max("turn_idx").alias("user_turn")),
+            by="conv_id", left_on="ts",
+        ).groupBy().agg(
+            F.count("ts_r").alias("n_matched"),
+            F.count(F.lit(1)).alias("n_rows"),
         ),
         # theta set algebra: two bottom-k sketch builds over the full turn
         # stream + lazy union/intersect/diff — the set-op-closed family

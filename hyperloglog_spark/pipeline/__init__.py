@@ -36,6 +36,7 @@ from .sampling import (
     priority_sample,
     stratified_sample,
 )
+from .temporal import asof_join
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -63,4 +64,5 @@ __all__ = [
     "kmv_distinct",
     "priority_sample",
     "stratified_sample",
+    "asof_join",
 ]

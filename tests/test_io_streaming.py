@@ -401,3 +401,33 @@ def test_session_window_streaming_append(spark, tmp_path):
     # append mode emitted each finalized session exactly once
     assert len({(r["uid"], r["duration_ms"], r["n_events"])
                 for r in got}) <= 15
+
+
+def test_streaming_theta_bytes_match_batch(spark, tmp_path):
+    """Theta streamed over micro-batches == batch build byte-for-byte
+    (the min-k union merge is deterministic and bracketing-insensitive),
+    so the set-op closure applies to streamed states too."""
+    from hyperloglog_spark.setops import ThetaAggregator, theta_sketch_agg
+    from hyperloglog_spark.sketch import theta
+    from hyperloglog_spark.streaming import streaming_sketch_agg
+
+    rows = [("shard", f"user-{i % 900}") for i in range(2700)]
+    batch = spark.createDataFrame(rows, ["g", "u"])
+    src = str(tmp_path / "src-theta")
+    batch.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(
+        stream, "u", ThetaAggregator(k=256), "g", emit_sketch=True
+    )
+    (out.writeStream.format("memory").queryName("q_theta")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-theta"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_theta").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+
+    want = bytes(theta_sketch_agg(batch, "u", k=256).first()["sketch"])
+    assert sk == want
+    assert theta.estimate(sk) == emitted[-1]["n_distinct_est"]
