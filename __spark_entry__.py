@@ -1300,6 +1300,23 @@ def q_theta_distinct_by_priority(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q_ngram_contamination_documents(spark, sf_dir):
+    """Training-data decontamination (pipeline.decontam): per-document
+    benchmark n-gram containment — every 50th document stands in for the
+    eval benchmark, so benchmark members score 1000 permille and their
+    near-dups score high. ALGORITHM-MIRROR oracle: md5 60-bit shingle
+    hashes, the shingle_hashes short-text rule, and the integer-permille
+    division replay exactly in SQL. Exact method: benchmark grams
+    broadcast, corpus grams never shuffle through a join."""
+    from hyperloglog_spark.pipeline import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs, docs.filter("doc_id % 50 = 0"),
+        n=3, threshold_permille=500, hashing="md5",
+    ).orderBy("doc_id")
+
+
 def q_asof_join_purchase_view(spark, sf_dir):
     """Temporal as-of join (pipeline.temporal.asof_join): each purchase
     event attached to the user's most recent prior view within 7 days —
@@ -1390,6 +1407,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
     "theta_distinct_by_priority": q_theta_distinct_by_priority,
     "asof_join_purchase_view": q_asof_join_purchase_view,
+    "ngram_contamination_documents": q_ngram_contamination_documents,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1866,6 +1884,39 @@ SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
             THEN v.view_value END AS view_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id
+""",
+    # shingle_hashes mirror: md5 60-bit hash per distinct word 3-gram
+    # (whole text when < 3 tokens), integer permille division
+    "ngram_contamination_documents": """
+WITH dw AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), bw AS (SELECT text, w FROM dw WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS g
+    FROM bw WHERE len(w) < 3
+    UNION ALL
+    SELECT ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS g
+    FROM bw, UNNEST(range(1, len(w) - 1)) AS t(i)
+  )
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS g
+    FROM dw WHERE len(w) < 3
+    UNION ALL
+    SELECT doc_id, ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS g
+    FROM dw, UNNEST(range(1, len(w) - 1)) AS t(i)
+  )
+), counts AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN g IN (SELECT g FROM bgrams) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matched
+  FROM dg GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       (1000 * n_matched) // n_grams AS contamination_permille,
+       ((1000 * n_matched) // n_grams) >= 500 AS contaminated
+FROM counts ORDER BY doc_id
 """,
 }
 

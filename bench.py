@@ -69,8 +69,8 @@ def main() -> None:
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
         asof_join, brute_force_topk, embedding_neardup_pairs, ivf_topk,
-        near_dup_clusters, near_dup_pairs, ngram_jaccard_pairs,
-        quality_score,
+        near_dup_clusters, near_dup_pairs, ngram_contamination,
+        ngram_jaccard_pairs, quality_score,
     )
     from hyperloglog_spark.membership import bloom_filtered_join
     from hyperloglog_spark.pipeline.similarity import (
@@ -168,6 +168,16 @@ def main() -> None:
         ).groupBy().agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
+        ),
+        # decontamination: every doc's 3-gram containment against a
+        # benchmark slice (broadcast bench grams, one corpus shuffle)
+        "decontam_documents": lambda: ngram_contamination(
+            t(spark, "documents"),
+            t(spark, "documents").filter(F.col("doc_id") % 50 == 0),
+            n=3, threshold_permille=500,
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int")).alias("n_contaminated"),
         ),
         # as-of join: every assistant turn -> most recent prior user turn
         # in its conversation (one window shuffle, no range join), reduced

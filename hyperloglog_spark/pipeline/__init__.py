@@ -36,6 +36,7 @@ from .sampling import (
     priority_sample,
     stratified_sample,
 )
+from .decontam import ngram_contamination
 from .temporal import asof_join
 from .text import doc_fingerprints, lang_id, quality_score, token_stats
 
@@ -65,4 +66,5 @@ __all__ = [
     "priority_sample",
     "stratified_sample",
     "asof_join",
+    "ngram_contamination",
 ]
