@@ -241,6 +241,34 @@ def q_cms_top5_partkeys(spark, sf_dir):
     return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5)
 
 
+def q_countsketch_f2_event_types(spark, sf_dir):
+    """Count sketch (signed, Charikar 2002) F2 second frequency moment =
+    SELF-JOIN SIZE of events on event_type — the skew statistic a planner
+    checks before shuffling on a key. ALGORITHM-MIRROR oracle: md5 mode
+    makes position (h1 + j*h2 mod w), sign (bit log2_w of the mixed hash),
+    the signed counters, the per-row sum of squares, and the exact middle
+    order statistic (d=5 odd) replayable bit-for-bit in ANSI SQL."""
+    from hyperloglog_spark import countsketch_f2
+
+    return countsketch_f2(_t(spark, sf_dir, "events"), "event_type",
+                          hashing="md5")
+
+
+def q_cms_join_size_orders_customer(spark, sf_dir):
+    """Equi-join SIZE estimate |orders ⋈ customer| from two CMS sketches
+    (Cormode-Muthukrishnan inner product): the pre-flight planner query
+    that sizes a 100 TB join from two one-scan sketches. ALGORITHM-MIRROR
+    oracle: md5 mode replays both counter tables and the min-over-rows
+    bucketwise dot product bit-for-bit in SQL."""
+    from hyperloglog_spark import cms_join_size
+
+    return cms_join_size(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey",
+        hashing="md5",
+    ).select("est_join_size", "n_a", "n_b")
+
+
 def q_bloom_custkey_members(spark, sf_dir):
     """No-false-negative guarantee: every inserted key probes true."""
     from hyperloglog_spark import bloom_build, with_might_contain
@@ -1408,9 +1436,51 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_distinct_by_priority": q_theta_distinct_by_priority,
     "asof_join_purchase_view": q_asof_join_purchase_view,
     "ngram_contamination_documents": q_ngram_contamination_documents,
+    "countsketch_f2_event_types": q_countsketch_f2_event_types,
+    "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
 }
 
 _ORACLES: dict[str, str] = {
+    "countsketch_f2_event_types": """
+WITH h AS (
+  SELECT ('0x' || substr(md5(concat(CAST(event_type AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
+         count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+), g AS (
+  SELECT t.j, (h.hv + t.j * ((h.hv >> 32) | 1)) AS gj, h.cnt FROM h, range(5) t(j)
+), counters AS (
+  SELECT j, gj & 32767 AS pos,
+         sum(CASE WHEN (gj >> 15) & 1 = 1 THEN cnt ELSE -cnt END) AS c
+  FROM g GROUP BY j, pos
+), rowsums AS (
+  SELECT j, CAST(sum(c * c) AS BIGINT) AS s FROM counters GROUP BY j
+)
+SELECT (SELECT s FROM rowsums ORDER BY s LIMIT 1 OFFSET 2) AS f2_est,
+       (SELECT count(*) FROM events WHERE event_type IS NOT NULL) AS n_total
+""",
+    "cms_join_size_orders_customer": """
+WITH ha AS (
+  SELECT ('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
+         count(*) AS cnt
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+), hb AS (
+  SELECT ('0x' || substr(md5(concat(CAST(c_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
+         count(*) AS cnt
+  FROM customer WHERE c_custkey IS NOT NULL GROUP BY c_custkey
+), ca AS (
+  SELECT t.j, (hv + t.j * ((hv >> 32) | 1)) & 32767 AS pos, sum(cnt) AS c
+  FROM ha, range(4) t(j) GROUP BY 1, 2
+), cb AS (
+  SELECT t.j, (hv + t.j * ((hv >> 32) | 1)) & 32767 AS pos, sum(cnt) AS c
+  FROM hb, range(4) t(j) GROUP BY 1, 2
+), prod AS (
+  SELECT a.j, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+  FROM ca a JOIN cb b ON a.j = b.j AND a.pos = b.pos GROUP BY a.j
+)
+SELECT (SELECT min(ip) FROM prod) AS est_join_size,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_a,
+       (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL) AS n_b
+""",
     "hll_distinct_region":
         "SELECT count(DISTINCT r_regionkey) AS n_regions FROM region",
     "hll_distinct_nation":

@@ -6,7 +6,10 @@ aggregation, built for transcripts-scale tables (see SURVEY.md /
 BASELINE.json).
 """
 
-from .frequency import cms_agg, cms_point_query_udf, cms_topk
+from .frequency import (
+    cms_agg, cms_join_size, cms_point_query_udf, cms_topk,
+    countsketch_agg, countsketch_f2, cs_point_query_udf,
+)
 from .functions import (
     approx_distinct,
     approx_distinct_multi,
@@ -40,8 +43,12 @@ __all__ = [
     "bloom_agg",
     "bloom_build",
     "cms_agg",
+    "cms_join_size",
     "cms_point_query_udf",
     "cms_topk",
+    "countsketch_agg",
+    "countsketch_f2",
+    "cs_point_query_udf",
     "hll_estimate_udf",
     "hll_fold_udf",
     "hll_jaccard_udf",

@@ -29,9 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .engine.aggregate import SketchAggregator, sketch_agg
+from .engine.aggregate import SKETCH_COL, SketchAggregator, sketch_agg
 from .functions import _drop_null_rows, _to_numpy_u64
-from .sketch import cms
+from .sketch import cms, countsketch
 
 __all__ = [
     "CmsAggregator",
@@ -40,19 +40,42 @@ __all__ = [
     "cms_topk_shards",
     "cms_topk_rollup",
     "cms_point_query_udf",
+    "cms_join_size",
+    "CountSketchAggregator",
+    "countsketch_agg",
+    "countsketch_f2",
+    "cs_point_query_udf",
 ]
+
+
+def _hash_expr(cols: list[str], hashing: str) -> F.Column:
+    """64-bit value hash. "md5" (top 60 md5 bits of the '#0'-salted string,
+    single column) is reproducible in any ANSI engine — the oracle-checkable
+    mode shared with ``pipeline.sampling``; xxhash64 is the fast JVM
+    default."""
+    if hashing == "xxhash64":
+        return F.xxhash64(*[F.col(c) for c in cols])
+    if hashing == "md5":
+        if len(cols) != 1:
+            raise ValueError("md5 hashing mode supports a single column")
+        return F.expr(
+            f"cast(conv(substring(md5(concat(cast({cols[0]} as string), "
+            f"'#', '0')), 1, 15), 16, 10) as bigint)"
+        )
+    raise ValueError(f"hashing must be 'xxhash64' or 'md5': {hashing!r}")
 
 
 class CmsAggregator(SketchAggregator):
     name = "cms"
 
-    def __init__(self, d: int = cms.DEFAULT_D, log2_w: int = cms.DEFAULT_LOG2_W):
+    def __init__(self, d: int = cms.DEFAULT_D, log2_w: int = cms.DEFAULT_LOG2_W,
+                 hashing: str = "xxhash64"):
         cms.empty(d, log2_w)  # validate eagerly
-        self.d, self.log2_w = d, log2_w
+        self.d, self.log2_w, self.hashing = d, log2_w, hashing
         self.finalize_fields = [T.StructField("n_total", T.LongType(), False)]
 
     def prepare_columns(self, df: DataFrame, cols: list[str]):
-        return [F.xxhash64(*[F.col(c) for c in cols])]
+        return [_hash_expr(cols, self.hashing)]
 
     def build_grouped(self, codes, values, n_groups) -> list[bytes]:
         (arr,) = values.values()
@@ -82,11 +105,12 @@ def cms_agg(
     group_by: str | list[str] | None = None,
     d: int = cms.DEFAULT_D,
     log2_w: int = cms.DEFAULT_LOG2_W,
+    hashing: str = "xxhash64",
 ) -> DataFrame:
     """Per-group CMS sketches as a BinaryType column."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    agg = CmsAggregator(d, log2_w)
+    agg = CmsAggregator(d, log2_w, hashing)
     return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by, finalize=False)
 
 
@@ -337,3 +361,150 @@ def cms_topk_rollup(
     out = tmp.groupBy("__g").applyInPandas(
         lambda pdf: merge_rank(pdf), out_schema)
     return out.orderBy(F.desc("approx_count"), F.asc(col))
+
+
+def cms_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    d: int = cms.DEFAULT_D,
+    log2_w: int = cms.DEFAULT_LOG2_W,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Equi-join SIZE estimate |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k) from two
+    CMS sketches — the planner query that decides broadcast vs shuffle vs
+    salting BEFORE running a 100 TB join. One scan per side builds a sketch
+    (bytes independent of data size), the 1x1 combine is a broadcast-able
+    nested loop over two rows; nothing else moves.
+
+    Guarantee (Cormode & Muthukrishnan 2005 §4.2): exact <= est_join_size
+    <= exact + eps·N_A·N_B with prob. 1-delta, eps = e/w, delta = e^-d.
+    In "md5" hashing mode the estimate is bit-reproducible in any ANSI
+    engine (the oracle hook). Returns one row:
+    (est_join_size, n_a, n_b, eps_n_a_n_b)."""
+    sk_a = cms_agg(df_a, key_a, d=d, log2_w=log2_w, hashing=hashing)
+    sk_b = cms_agg(df_b, key_b, d=d, log2_w=log2_w, hashing=hashing)
+    joined = (
+        sk_a.select(F.col(SKETCH_COL).alias("__sa"))
+        .crossJoin(F.broadcast(sk_b.select(F.col(SKETCH_COL).alias("__sb"))))
+    )
+    out_schema = T.StructType([
+        T.StructField("est_join_size", T.LongType(), False),
+        T.StructField("n_a", T.LongType(), False),
+        T.StructField("n_b", T.LongType(), False),
+        T.StructField("eps_n_a_n_b", T.DoubleType(), False),
+    ])
+
+    def combine(pdf):
+        import pandas as pd
+
+        a, b = bytes(pdf["__sa"].iloc[0]), bytes(pdf["__sb"].iloc[0])
+        est = cms.inner_product(a, b)
+        _, _, n_a = cms.params(a)
+        _, _, n_b = cms.params(b)
+        eps, _ = cms.error_bound(a)
+        return pd.DataFrame({
+            "est_join_size": [est], "n_a": [n_a], "n_b": [n_b],
+            "eps_n_a_n_b": [eps * n_a * n_b],
+        })
+
+    return (
+        joined.withColumn("__g", F.lit(1))
+        .groupBy("__g").applyInPandas(combine, out_schema)
+    )
+
+
+class CountSketchAggregator(SketchAggregator):
+    """Signed count sketch (Charikar et al. 2002): unbiased point estimates
+    and the F2 second frequency moment / self-join size (AMS-over-buckets).
+    See ``sketch/countsketch.py`` for the determinism contract that makes
+    the "md5" hashing mode replayable bit-for-bit in ANSI SQL."""
+
+    name = "countsketch"
+
+    def __init__(self, d: int = countsketch.DEFAULT_D,
+                 log2_w: int = countsketch.DEFAULT_LOG2_W,
+                 hashing: str = "xxhash64"):
+        countsketch.empty(d, log2_w)  # validate eagerly
+        self.d, self.log2_w, self.hashing = d, log2_w, hashing
+        self.finalize_fields = [
+            T.StructField("f2_est", T.LongType(), False),
+            T.StructField("n_total", T.LongType(), False),
+        ]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        return [_hash_expr(cols, self.hashing)]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        (arr,) = values.values()
+        hashes = _to_numpy_u64(arr)
+        if n_groups == 1:
+            return [countsketch.from_hashes(hashes, d=self.d,
+                                            log2_w=self.log2_w)]
+        order = np.argsort(codes, kind="stable")
+        sc, sh = codes[order], hashes[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [
+            countsketch.from_hashes(sh[bounds[g]: bounds[g + 1]], d=self.d,
+                                    log2_w=self.log2_w)
+            for g in range(n_groups)
+        ]
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return countsketch.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        _, _, n = countsketch.params(sketch)
+        return {"f2_est": countsketch.f2_estimate(sketch), "n_total": n}
+
+
+def countsketch_agg(
+    df: DataFrame,
+    cols: str | list[str],
+    group_by: str | list[str] | None = None,
+    d: int = countsketch.DEFAULT_D,
+    log2_w: int = countsketch.DEFAULT_LOG2_W,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Per-group count sketches as a BinaryType column."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = CountSketchAggregator(d, log2_w, hashing)
+    return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by,
+                      finalize=False)
+
+
+def countsketch_f2(
+    df: DataFrame,
+    cols: str | list[str],
+    group_by: str | list[str] | None = None,
+    d: int = countsketch.DEFAULT_D,
+    log2_w: int = countsketch.DEFAULT_LOG2_W,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Second frequency moment F2 = Σ_v count(v)² — the SELF-JOIN SIZE of
+    ``cols`` — per group: (group_cols..., f2_est, n_total). F2/n² is the
+    standard skew statistic a planner checks before shuffling on a key.
+    Exact whenever the median row has no colliding pair of distinct values
+    (value space far below w); unbiased with rel. error O(1/sqrt(w))
+    otherwise."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = CountSketchAggregator(d, log2_w, hashing)
+    return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by)
+
+
+def cs_point_query_udf(sketch: bytes):
+    """Scalar pandas UDF factory: hash column (int64) -> unbiased count
+    estimate (median over rows of the signed counters)."""
+    sketch = bytes(sketch)
+
+    @F.pandas_udf(T.LongType())
+    def q(hashes):
+        import pandas as pd
+
+        h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(countsketch.point_query(sketch, h).astype(np.int64))
+
+    return q

@@ -144,6 +144,22 @@ def point_query(sketch: bytes, hashes: np.ndarray) -> np.ndarray:
     return ests.min(axis=0)
 
 
+def inner_product(a: bytes, b: bytes) -> int:
+    """Join-size estimate |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) as the min over
+    rows of the bucketwise dot product (Cormode & Muthukrishnan 2005 §4.2).
+    Guarantee: exact <= estimate <= exact + eps·N_A·N_B w.p. 1-delta.
+    Both sketches must share (d, w) AND the same hashing of the join key."""
+    da, wa, _ = params(a)
+    db, wb, _ = params(b)
+    if (da, wa) != (db, wb):
+        raise ValueError(
+            f"cannot inner-product CMS of different shape: "
+            f"({da},{wa}) vs ({db},{wb})"
+        )
+    ta, tb = table(a).astype(object), table(b).astype(object)
+    return int(min((ra * rb).sum() for ra, rb in zip(ta, tb)))
+
+
 def error_bound(sketch: bytes) -> tuple[float, float]:
     """(eps, delta): estimate <= true + eps*N with prob 1-delta."""
     d, log2_w, _ = params(sketch)
