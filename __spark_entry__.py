@@ -779,6 +779,18 @@ def q_text_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (dup-word / top- and dup-n-gram
+    permille). Spark computes per-doc n-gram multiplicities with a
+    sort+fold inside codegen (zero Exchanges); the oracle recomputes the
+    same exact integers via unnest + GROUP BY — hash-exact."""
+    from hyperloglog_spark.pipeline import repetition_stats
+
+    return repetition_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Bottom-k shingle fingerprints, hashing=md5 so the fingerprint (sum
     of the 4 smallest 60-bit shingle hashes) is bit-reproducible in the
@@ -1430,6 +1442,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
+    "text_repetition_stats": q_text_repetition_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_features": q_multimodal_features,
     "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
@@ -1832,6 +1845,50 @@ SELECT CASE
        ['the','a','an','and','of','to','in','is','it','that','for'])) > 0 THEN 'en'
   ELSE 'unknown' END AS lang_pred, count(*) AS n_docs
 FROM documents GROUP BY lang_pred ORDER BY lang_pred
+""",
+    "text_repetition_stats": r"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+base AS (SELECT doc_id, len(w) AS nt, len(list_distinct(w)) AS ty FROM toks),
+bgrows AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+bg AS (SELECT doc_id, max(c) AS topc,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+              sum(c) AS nbg
+       FROM (SELECT doc_id, g, count(*) AS c FROM bgrows GROUP BY doc_id, g)
+       GROUP BY doc_id),
+tgrows AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+tg AS (SELECT doc_id, max(c) AS topc,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+              sum(c) AS ntg
+       FROM (SELECT doc_id, g, count(*) AS c FROM tgrows GROUP BY doc_id, g)
+       GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+    CASE WHEN b.nt > 0
+         THEN CAST(floor((b.nt - b.ty) * 1000.0 / b.nt) AS BIGINT)
+         ELSE 0 END AS dup_word_permille,
+    CASE WHEN coalesce(bg.nbg, 0) > 0
+         THEN CAST(floor(bg.topc * 1000.0 / bg.nbg) AS BIGINT)
+         ELSE 0 END AS top_bigram_permille,
+    CASE WHEN coalesce(bg.nbg, 0) > 0
+         THEN CAST(floor(bg.dupc * 1000.0 / bg.nbg) AS BIGINT)
+         ELSE 0 END AS dup_bigram_permille,
+    CASE WHEN coalesce(tg.ntg, 0) > 0
+         THEN CAST(floor(tg.topc * 1000.0 / tg.ntg) AS BIGINT)
+         ELSE 0 END AS top_trigram_permille,
+    CASE WHEN coalesce(tg.ntg, 0) > 0
+         THEN CAST(floor(tg.dupc * 1000.0 / tg.ntg) AS BIGINT)
+         ELSE 0 END AS dup_trigram_permille
+  FROM base b
+  LEFT JOIN bg ON b.doc_id = bg.doc_id
+  LEFT JOIN tg ON b.doc_id = tg.doc_id
+)
+SELECT doc_id, n_tokens, dup_word_permille, top_bigram_permille,
+       dup_bigram_permille, top_trigram_permille, dup_trigram_permille,
+       (dup_word_permille > 700 OR top_bigram_permille > 180
+        OR dup_trigram_permille > 300) AS repetitive
+FROM m ORDER BY doc_id
 """,
     "text_quality": r"""
 WITH t AS (

@@ -70,7 +70,7 @@ def main() -> None:
     from hyperloglog_spark.pipeline import (
         asof_join, brute_force_topk, embedding_neardup_pairs, ivf_topk,
         near_dup_clusters, near_dup_pairs, ngram_contamination,
-        ngram_jaccard_pairs, quality_score,
+        ngram_jaccard_pairs, quality_score, repetition_stats,
     )
     from hyperloglog_spark.membership import bloom_filtered_join
     from hyperloglog_spark.pipeline.similarity import (
@@ -122,6 +122,15 @@ def main() -> None:
         ),
         "text_quality_docs": lambda: quality_score(
             t(spark, "documents"), "text", "doc_id"),
+        # per-doc n-gram multiplicity stats via in-codegen sort+fold — the
+        # zero-shuffle path (an explode+groupBy would shuffle ~n_tokens
+        # rows per doc); reduced to a 1-row summary for the collect
+        "text_repetition_docs": lambda: repetition_stats(
+            t(spark, "documents"), "text", "doc_id"
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("repetitive").cast("int")).alias("n_repetitive"),
+        ),
         "embedding_topk_ivf": lambda: ivf_topk(
             t(spark, "embeddings"),
             t(spark, "embeddings").filter(F.col("vec_id") < 32),

@@ -38,7 +38,8 @@ from .sampling import (
 )
 from .decontam import ngram_contamination
 from .temporal import asof_join
-from .text import doc_fingerprints, lang_id, quality_score, token_stats
+from .text import (doc_fingerprints, lang_id, quality_score,
+                   repetition_stats, token_stats)
 
 __all__ = [
     "exact_dedup",
@@ -58,6 +59,7 @@ __all__ = [
     "fit_ivf_centroids",
     "embedding_neardup_pairs",
     "doc_fingerprints",
+    "repetition_stats",
     "lang_id",
     "quality_score",
     "token_stats",

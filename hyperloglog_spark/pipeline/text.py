@@ -104,6 +104,110 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _ngram_array(words_col: str, n: int) -> F.Column:
+    """Word n-grams as an array<string> (space-joined), empty when the doc
+    has fewer than ``n`` tokens. Pure Catalyst (transform over sequence)."""
+    joined = " , ' ', ".join(f"{words_col}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"IF(size({words_col}) >= {n}, "
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat({joined})), "
+        f"cast(array() as array<string>))"
+    )
+
+
+def _run_length_stats(arr_col: str) -> F.Column:
+    """Fold a SORTED string array into struct(maxr, dup): the longest run of
+    equal adjacent elements (= the max multiplicity of any element) and the
+    number of occurrences belonging to elements with multiplicity >= 2.
+
+    One O(n log n) sort + O(n) fold per row, entirely in whole-stage
+    codegen — the shuffle-free alternative to explode + groupBy for per-doc
+    n-gram multiplicity stats (at 100 TB an explode would shuffle ~n_tokens
+    rows per document; this shuffles nothing).
+    """
+    return F.expr(
+        f"aggregate(array_sort({arr_col}), "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "'maxr', 0L, 'dup', 0L), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> a.prev, a.run + 1L, 1L), "
+        "'maxr', greatest(a.maxr, IF(x <=> a.prev, a.run + 1L, 1L)), "
+        "'dup', a.dup + IF(x <=> a.prev, IF(a.run = 1L, 2L, 1L), 0L)), "
+        "a -> named_struct('maxr', a.maxr, 'dup', a.dup))"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    flag_top_bigram_permille: int = 180,
+    flag_dup_trigram_permille: int = 300,
+    flag_dup_word_permille: int = 700,
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public) for
+    training-data quality filtering, word-level:
+
+    - ``dup_word_permille``   — 1000·(n_tokens − n_types)/n_tokens
+    - ``top_bigram_permille`` — occurrences of the most frequent bigram /
+      total bigram occurrences (and the trigram analogue)
+    - ``dup_bigram_permille`` — occurrences belonging to bigrams seen ≥2×
+      (and the trigram analogue)
+    - ``repetitive``          — any metric over its (documented) threshold
+
+    All metrics are exact integers (floor permille), so the DuckDB oracle —
+    which recomputes the same multiplicities via unnest + GROUP BY — must
+    hash-match bit-for-bit. The Spark plan computes multiplicities per row
+    with a sort+fold inside codegen instead of exploding n-grams into a
+    shuffle: zero Exchanges for the stats themselves.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    df2 = df.select(F.col(id_col), toks.alias("__w"))
+    df2 = df2.select(
+        F.col(id_col),
+        F.size("__w").alias("__nt"),
+        F.size(F.array_distinct("__w")).alias("__ty"),
+        _ngram_array("__w", 2).alias("__bg"),
+        _ngram_array("__w", 3).alias("__tg"),
+    )
+    df2 = df2.select(
+        F.col(id_col),
+        F.col("__nt"),
+        F.col("__ty"),
+        F.size("__bg").alias("__nbg"),
+        F.size("__tg").alias("__ntg"),
+        _run_length_stats("__bg").alias("__bs"),
+        _run_length_stats("__tg").alias("__ts"),
+    )
+
+    def permille(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, F.floor(
+            num.cast("double") * F.lit(1000.0) / den.cast("double")
+        ).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    dup_word = permille(F.col("__nt") - F.col("__ty"), F.col("__nt"))
+    top_bg = permille(F.col("__bs.maxr"), F.col("__nbg"))
+    dup_bg = permille(F.col("__bs.dup"), F.col("__nbg"))
+    top_tg = permille(F.col("__ts.maxr"), F.col("__ntg"))
+    dup_tg = permille(F.col("__ts.dup"), F.col("__ntg"))
+    return df2.select(
+        F.col(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        dup_word.alias("dup_word_permille"),
+        top_bg.alias("top_bigram_permille"),
+        dup_bg.alias("dup_bigram_permille"),
+        top_tg.alias("top_trigram_permille"),
+        dup_tg.alias("dup_trigram_permille"),
+        (
+            (dup_word > F.lit(flag_dup_word_permille))
+            | (top_bg > F.lit(flag_top_bigram_permille))
+            | (dup_tg > F.lit(flag_dup_trigram_permille))
+        ).alias("repetitive"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -949,3 +949,77 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark, docs):
         "n_distinct_est"
     ]
     assert abs(m - 20_000) / 20_000 < 3 / (510 ** 0.5), m
+
+
+# ------------------------------------------------- repetition stats (Gopher)
+
+
+def test_repetition_stats_hand_cases(spark):
+    from hyperloglog_spark.pipeline import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "hello"), (4, "q q q q")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(df, "text", "doc_id").collect()}
+    # doc 1: 6 tokens 2 types -> 666; bigrams [ab,ba,ab,ba,ab] top 3/5,
+    # dup 5/5; trigrams [aba,bab,aba,bab] top 2/4, dup 4/4
+    assert got[1] == {"doc_id": 1, "n_tokens": 6, "dup_word_permille": 666,
+                      "top_bigram_permille": 600, "dup_bigram_permille": 1000,
+                      "top_trigram_permille": 500,
+                      "dup_trigram_permille": 1000, "repetitive": True}
+    # doc 2: all distinct -> top bigram 1/3 = 333, no dups
+    assert got[2]["dup_bigram_permille"] == 0
+    assert got[2]["top_bigram_permille"] == 333
+    assert got[2]["dup_word_permille"] == 0
+    # doc 3: single token -> no n-grams, all zero, not repetitive
+    assert got[3] == {"doc_id": 3, "n_tokens": 1, "dup_word_permille": 0,
+                      "top_bigram_permille": 0, "dup_bigram_permille": 0,
+                      "top_trigram_permille": 0, "dup_trigram_permille": 0,
+                      "repetitive": False}
+    # doc 4: one word repeated -> everything saturates at 1000
+    assert got[4]["top_bigram_permille"] == 1000
+    assert got[4]["dup_trigram_permille"] == 1000
+    assert got[4]["repetitive"]
+
+
+def test_repetition_stats_vs_duckdb(docs):
+    from hyperloglog_spark.pipeline import repetition_stats
+
+    got = {r["doc_id"]: (r["top_bigram_permille"], r["dup_bigram_permille"],
+                         r["top_trigram_permille"], r["dup_trigram_permille"])
+           for r in repetition_stats(docs, "text", "doc_id").collect()}
+    want = {r[0]: tuple(r[1:]) for r in duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM '{DOCS}'),
+bgrows AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+bg AS (SELECT doc_id, max(c) AS topc,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc, sum(c) AS n
+       FROM (SELECT doc_id, g, count(*) AS c FROM bgrows GROUP BY doc_id, g)
+       GROUP BY doc_id),
+tgrows AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                 FROM toks)),
+tg AS (SELECT doc_id, max(c) AS topc,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc, sum(c) AS n
+       FROM (SELECT doc_id, g, count(*) AS c FROM tgrows GROUP BY doc_id, g)
+       GROUP BY doc_id)
+SELECT bg.doc_id,
+       CAST(floor(bg.topc * 1000.0 / bg.n) AS BIGINT),
+       CAST(floor(bg.dupc * 1000.0 / bg.n) AS BIGINT),
+       CAST(floor(tg.topc * 1000.0 / tg.n) AS BIGINT),
+       CAST(floor(tg.dupc * 1000.0 / tg.n) AS BIGINT)
+FROM bg JOIN tg ON bg.doc_id = tg.doc_id""").fetchall()}
+    assert got == want
+
+
+def test_repetition_stats_plan_has_zero_exchanges(docs):
+    from hyperloglog_spark.pipeline import repetition_stats
+
+    docs.sparkSession.catalog.clearCache()
+    plan = repetition_stats(docs, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # per-row sort+fold in codegen: the stats must not shuffle anything
+    assert "Exchange" not in plan
