@@ -269,6 +269,31 @@ def q_cms_join_size_orders_customer(spark, sf_dir):
     ).select("est_join_size", "n_a", "n_b")
 
 
+def q_cbf_deleted_membership(spark, sf_dir):
+    """Counting Bloom filter (Fan et al. 2000) with real deletions: insert
+    every order's custkey, delete the 'F'-status ones, probe customers for
+    "has an open order". The merge is Z-vector addition (a commutative
+    group), so insert and delete rows may land on different partitions in
+    any order. ALGORITHM-MIRROR oracle: md5 mode replays the counter table
+    (position chain (h + j*((h>>32)|1)) & (m-1), signed sums) and the
+    min-over-k probe bit-for-bit in ANSI SQL."""
+    from hyperloglog_spark.membership import (
+        cbf_build, with_cbf_might_contain,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ins = orders.select(F.col("o_custkey").alias("key"),
+                        F.lit(1).alias("d"))
+    dele = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key"), F.lit(-1).alias("d"))
+    sk = cbf_build(ins.unionByName(dele), "key", delta_col="d",
+                   log2_m=15, k=4, hashing="md5")
+    return with_cbf_might_contain(
+        _t(spark, sf_dir, "customer"), "c_custkey", sk,
+        alias="has_open", hashing="md5",
+    ).select("c_custkey", "has_open").orderBy("c_custkey")
+
+
 def q_bloom_custkey_members(spark, sf_dir):
     """No-false-negative guarantee: every inserted key probes true."""
     from hyperloglog_spark import bloom_build, with_might_contain
@@ -1409,6 +1434,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top5_partkeys": q_cms_top5_partkeys,
+    "cbf_deleted_membership": q_cbf_deleted_membership,
     "bloom_custkey_members": q_bloom_custkey_members,
     "bloom_orders_covered": q_bloom_orders_covered,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1614,6 +1640,31 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "cms_top5_partkeys":
         "SELECT l_partkey, count(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey ORDER BY approx_count DESC, l_partkey LIMIT 5",
+    "cbf_deleted_membership": """
+WITH upd AS (
+  SELECT o_custkey AS key, 1 AS d FROM orders
+  UNION ALL
+  SELECT o_custkey AS key, -1 AS d FROM orders WHERE o_orderstatus = 'F'
+), h AS (
+  SELECT ('0x' || substr(md5(concat(CAST(key AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
+         sum(d) AS net
+  FROM upd GROUP BY key
+), counters AS (
+  SELECT t.j, (hv + t.j * ((hv >> 32) | 1)) & 32767 AS pos, sum(net) AS c
+  FROM h, range(4) t(j) GROUP BY 1, 2
+), probe AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5(concat(CAST(c_custkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv
+  FROM customer
+)
+SELECT p.c_custkey, min(coalesce(c.c, 0)) > 0 AS has_open
+FROM probe p
+CROSS JOIN range(4) t(j)
+LEFT JOIN counters c
+  ON c.j = t.j AND c.pos = ((p.hv + t.j * ((p.hv >> 32) | 1)) & 32767)
+GROUP BY p.c_custkey
+ORDER BY p.c_custkey
+""",
     "bloom_custkey_members":
         "SELECT c_custkey, TRUE AS seen FROM customer",
     "bloom_orders_covered":

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
 from .functions import _drop_null_rows, _to_numpy_u64
-from .sketch import bloom
+from .sketch import bloom, cbf
 
 __all__ = [
     "BloomAggregator",
@@ -25,6 +25,10 @@ __all__ = [
     "bloom_agg",
     "with_might_contain",
     "bloom_filtered_join",
+    "CbfAggregator",
+    "cbf_build",
+    "cbf_agg",
+    "with_cbf_might_contain",
 ]
 
 
@@ -174,3 +178,124 @@ def bloom_filtered_join(
         .drop(flag)
     )
     return pruned.join(small, on, how)
+
+
+class CbfAggregator(SketchAggregator):
+    """Counting Bloom filter (Fan et al. 2000): deletion-capable membership.
+
+    Rows carry a signed delta (+1 insert / -1 delete; any int64 weight).
+    Partials are Z-valued counter vectors and the merge is vector addition —
+    a commutative group, so a partition holding only the delete rows of a
+    key merges correctly with the partition holding its inserts, in any
+    order, to byte-identical results. Validity (no negative cell) is a
+    property of the fully merged filter and is checked at probe time.
+    """
+
+    name = "cbf"
+
+    def __init__(
+        self,
+        log2_m: int = cbf.DEFAULT_LOG2_M,
+        k: int = cbf.DEFAULT_K,
+        delta_col: str | None = None,
+        hashing: str = "xxhash64",
+    ):
+        cbf.empty(log2_m, k)  # validate eagerly
+        self.log2_m, self.k = log2_m, k
+        self.delta_col, self.hashing = delta_col, hashing
+        self.finalize_fields = [
+            T.StructField("net_added", T.LongType(), False),
+            T.StructField("fill_ratio", T.DoubleType(), False),
+        ]
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        from .frequency import _hash_expr
+
+        delta = (
+            F.col(self.delta_col).cast("long")
+            if self.delta_col is not None
+            else F.lit(1).cast("long")
+        )
+        return [_hash_expr(cols, self.hashing), delta]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        harr, darr = values.values()
+        hashes = _to_numpy_u64(harr)
+        deltas = np.asarray(darr, dtype=np.int64)
+        if n_groups == 1:
+            return [cbf.from_hashes(hashes, deltas, self.log2_m, self.k)]
+        order = np.argsort(codes, kind="stable")
+        sc, sh, sd = codes[order], hashes[order], deltas[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [
+            cbf.from_hashes(
+                sh[bounds[g]: bounds[g + 1]], sd[bounds[g]: bounds[g + 1]],
+                self.log2_m, self.k,
+            )
+            for g in range(n_groups)
+        ]
+
+    def merge_many(self, sketches: list[bytes]) -> bytes:
+        return cbf.merge_many(sketches)
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        _, _, net = cbf.params(sketch)
+        return {"net_added": net, "fill_ratio": cbf.fill_ratio(sketch)}
+
+
+def cbf_build(
+    df: DataFrame,
+    cols: str | list[str],
+    delta_col: str | None = None,
+    log2_m: int = cbf.DEFAULT_LOG2_M,
+    k: int = cbf.DEFAULT_K,
+    hashing: str = "xxhash64",
+) -> bytes:
+    """Distributed counting-Bloom build -> driver-held filter bytes.
+    ``delta_col`` (int, +insert/-delete) defaults to +1 per row."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    agg = CbfAggregator(log2_m, k, delta_col=delta_col, hashing=hashing)
+    return collect_merged(_drop_null_rows(df, cols), cols, agg)
+
+
+def cbf_agg(
+    df: DataFrame,
+    cols: str | list[str],
+    group_by: str | list[str] | None = None,
+    delta_col: str | None = None,
+    log2_m: int = cbf.DEFAULT_LOG2_M,
+    k: int = cbf.DEFAULT_K,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Per-group counting-Bloom sketches as a BinaryType column."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = CbfAggregator(log2_m, k, delta_col=delta_col, hashing=hashing)
+    return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by,
+                      finalize=False)
+
+
+def with_cbf_might_contain(
+    df: DataFrame,
+    cols: str | list[str],
+    sketch: bytes,
+    alias: str = "might_contain",
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """Probe a counting-Bloom filter: true iff all k counters > 0. No false
+    negatives for keys with positive net insert count; raises if the merged
+    filter has negative cells (deletes of never-inserted keys)."""
+    from .frequency import _hash_expr
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    sketch = bytes(sketch)
+    cbf.validate(sketch)  # fail fast on the driver, not inside executors
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(hashes):
+        import pandas as pd
+
+        h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(cbf.might_contain(sketch, h))
+
+    return df.withColumn(alias, probe(_hash_expr(cols, hashing)))

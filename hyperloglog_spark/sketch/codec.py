@@ -6,7 +6,7 @@ collect) as a BinaryType cell with a stable, versioned envelope:
     byte 0-1  magic  b"HS"
     byte 2    version (1)
     byte 3    kind    (1=HLL, 2=CMS, 3=BLOOM, 4=KLL, 5=TDIGEST, 6=THETA,
-                       7=COUNTSKETCH)
+                       7=COUNTSKETCH, 8=CBF counting bloom)
     byte 4..  kind-specific header + payload
 
 The reference keeps state internal-only (/root/reference/HyperLogLog/
@@ -26,6 +26,7 @@ KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_THETA = 6
 KIND_COUNTSKETCH = 7
+KIND_CBF = 8
 
 
 def pack_header(kind: int) -> bytes:
