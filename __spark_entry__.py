@@ -269,6 +269,27 @@ def q_cms_join_size_orders_customer(spark, sf_dir):
     ).select("est_join_size", "n_a", "n_b")
 
 
+def q_fd_gram_embeddings(spark, sf_dir):
+    """Frequent Directions (Liberty 2013) Gram sketch over the embeddings
+    table, EXACT-REGIME oracle: 500 rows <= buffer capacity 2*ell=1024, so
+    no shrink fires and B^T B == A^T A exactly; the integer grid
+    floor(100*x) makes every float64 sum an exact integer, hence
+    hash-exact vs the SQL Gram. The shrinkage math (PSD certificate
+    0 <= A'A - B'B <= delta_sum*I) is property-tested in tests/test_fd.py.
+    Output: upper-triangular 8x8 principal submatrix in long form."""
+    from hyperloglog_spark.linalg import fd_build, fd_gram_long
+
+    grid = _t(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "transform(embedding, x -> floor(cast(x as double) * 100))"
+        ).alias("vec")
+    )
+    sk = fd_build(grid, "vec", ell=512)
+    return fd_gram_long(spark, sk, dims=8).select(
+        "i", "j", F.col("gram").cast("long").alias("gram")
+    ).orderBy("i", "j")
+
+
 def q_cbf_deleted_membership(spark, sf_dir):
     """Counting Bloom filter (Fan et al. 2000) with real deletions: insert
     every order's custkey, delete the 'F'-status ones, probe customers for
@@ -1434,6 +1455,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top5_partkeys": q_cms_top5_partkeys,
+    "fd_gram_embeddings": q_fd_gram_embeddings,
     "cbf_deleted_membership": q_cbf_deleted_membership,
     "bloom_custkey_members": q_bloom_custkey_members,
     "bloom_orders_covered": q_bloom_orders_covered,
@@ -1640,6 +1662,16 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "cms_top5_partkeys":
         "SELECT l_partkey, count(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey ORDER BY approx_count DESC, l_partkey LIMIT 5",
+    "fd_gram_embeddings": """
+WITH v AS (
+  SELECT list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 100)) AS e
+  FROM embeddings
+), idx AS (
+  SELECT a.i AS i, b.j AS j FROM range(8) a(i), range(8) b(j) WHERE a.i <= b.j
+)
+SELECT idx.i, idx.j, CAST(sum(e[idx.i + 1] * e[idx.j + 1]) AS BIGINT) AS gram
+FROM idx, v GROUP BY idx.i, idx.j ORDER BY idx.i, idx.j
+""",
     "cbf_deleted_membership": """
 WITH upd AS (
   SELECT o_custkey AS key, 1 AS d FROM orders

@@ -27,6 +27,7 @@ KIND_TDIGEST = 5
 KIND_THETA = 6
 KIND_COUNTSKETCH = 7
 KIND_CBF = 8
+KIND_FD = 9
 
 
 def pack_header(kind: int) -> bytes:
