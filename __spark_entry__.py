@@ -1216,6 +1216,20 @@ FROM walk GROUP BY id ORDER BY doc_id
 """
 
 
+def q_conversation_integrity_events(spark, sf_dir):
+    """Per-conversation integrity audit (dup/missing turn indexes, timestamp
+    inversions in index order, role-alternation breaks) mapped onto the
+    events table (user_id=conv, event_id=idx, event_type=role). One Window
+    + one reused-partitioning groupBy = a single Exchange; exact-integer
+    outputs, window-replay SQL oracle."""
+    from hyperloglog_spark import transcripts as tq
+
+    return tq.conversation_integrity(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "event_type",
+        "ts",
+    ).orderBy("user_id")
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (transcripts.sessionize): per-user session
     boundaries at a 4-hour inactivity gap, rolled up to one row per user.
@@ -1468,6 +1482,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash_pairs": q_neardup_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "salted_hot_key_agg": q_salted_hot_key_agg,
+    "conversation_integrity_events": q_conversation_integrity_events,
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
     "priority_sample_documents": q_priority_sample_documents,
@@ -1742,6 +1757,29 @@ FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
         "SELECT event_type, count(*) AS n_events, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type",
+    "conversation_integrity_events": """
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS e,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS pe,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pr
+  FROM events
+), g AS (
+  SELECT user_id,
+         count(*) AS n_turns,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_turn_idx,
+         CAST(max(event_id) - min(event_id) + 1
+              - count(DISTINCT event_id) AS BIGINT) AS missing_turn_idx,
+         CAST(sum(CASE WHEN pe IS NOT NULL AND e < pe THEN 1 ELSE 0 END)
+              AS BIGINT) AS ts_inversions,
+         CAST(sum(CASE WHEN pr IS NOT NULL AND event_type = pr THEN 1 ELSE 0
+              END) AS BIGINT) AS role_repeats
+  FROM o GROUP BY user_id
+)
+SELECT *, (dup_turn_idx = 0 AND missing_turn_idx = 0 AND ts_inversions = 0)
+       AS is_valid
+FROM g ORDER BY user_id
+""",
     "sessionize_events": """
 WITH e AS (
   SELECT user_id, event_id, epoch(ts) AS t FROM events

@@ -178,6 +178,16 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
         ),
+        # per-conversation integrity audit (dup/missing idx, ts inversions,
+        # role repeats): one Window + partitioning-reusing groupBy = a
+        # single Exchange; reduced to a 1-row summary for the collect
+        "conv_integrity_transcripts": lambda: tq.conversation_integrity(
+            trans, "conv_id", "turn_idx", "role", "ts"
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(F.col("is_valid").cast("int")).alias("n_valid"),
+            F.sum("role_repeats").alias("total_role_repeats"),
+        ),
         # decontamination: every doc's 3-gram containment against a
         # benchmark slice (broadcast bench grams, one corpus shuffle)
         "decontam_documents": lambda: ngram_contamination(

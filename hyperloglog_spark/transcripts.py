@@ -29,6 +29,7 @@ __all__ = [
     "latency_quantiles",
     "conversation_membership",
     "ordering_invariant_violations",
+    "conversation_integrity",
     "sessionize",
     "session_stats",
     "with_salted_key",
@@ -221,6 +222,66 @@ def with_sliding_windows(
     s0 = (F.floor(e / F.lit(slide_s)) * F.lit(slide_s)).cast("long")
     starts = F.array(*[s0 - F.lit(i * slide_s) for i in range(k)])
     return df.withColumn(start_name, F.explode(starts))
+
+
+def conversation_integrity(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    role_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-conversation integrity audit — the preflight a 100 TB transcript
+    ingest runs before trusting (conv_id, turn_idx) as a key:
+
+    - ``dup_turn_idx``     turns sharing an index (n_turns − distinct idx)
+    - ``missing_turn_idx`` holes in the index range (max−min+1 − distinct)
+    - ``ts_inversions``    turns whose timestamp moves backwards in index
+      order (requires unique idx per conv for a deterministic count)
+    - ``role_repeats``     adjacent turns with the same role (alternation
+      breaks)
+    - ``is_valid``         no dups, no holes, no inversions
+
+    One Window (partitionBy conv, orderBy idx) feeds lag(ts)/lag(role); the
+    following groupBy(conv) reuses the window's hash partitioning, so the
+    whole audit is a single Exchange. Distinct counts use collect_set sizes
+    (bounded by conversation length — same bound as the window sort) to
+    avoid the multi-countDistinct Expand replan.
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_ts = F.lag(epoch).over(w)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    flagged = df.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        F.when(prev_ts.isNotNull() & (epoch < prev_ts), 1)
+        .otherwise(0).alias("__inv"),
+        F.when(
+            prev_role.isNotNull() & (F.col(role_col) == prev_role), 1
+        ).otherwise(0).alias("__rep"),
+    )
+    dup = F.count(F.lit(1)) - F.size(F.collect_set(idx_col))
+    missing = (
+        F.max(idx_col) - F.min(idx_col) + F.lit(1)
+        - F.size(F.collect_set(idx_col))
+    )
+    inv = F.sum("__inv")
+    out = flagged.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.size(F.collect_set(role_col)).cast("long").alias("n_roles"),
+        dup.cast("long").alias("dup_turn_idx"),
+        missing.cast("long").alias("missing_turn_idx"),
+        inv.cast("long").alias("ts_inversions"),
+        F.sum("__rep").cast("long").alias("role_repeats"),
+    )
+    return out.withColumn(
+        "is_valid",
+        (F.col("dup_turn_idx") == 0)
+        & (F.col("missing_turn_idx") == 0)
+        & (F.col("ts_inversions") == 0),
+    )
 
 
 def with_salted_key(

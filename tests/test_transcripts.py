@@ -275,3 +275,52 @@ def test_chunked_write_more_chunks_than_files(tmp_path):
     ).fetchone()
     assert n_rows == 1_200          # no chunk silently dropped
     assert n_convs > 40
+
+
+class TestConversationIntegrity:
+    def _df(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+        rows = [
+            # c1: clean alternating conversation
+            ("c1", 0, "user", s(0)), ("c1", 1, "assistant", s(1)),
+            ("c1", 2, "user", s(2)), ("c1", 3, "assistant", s(3)),
+            # c2: duplicate idx 1, ts inversion at idx 2, role repeat
+            ("c2", 0, "user", s(0)), ("c2", 1, "assistant", s(5)),
+            ("c2", 1, "assistant", s(6)), ("c2", 2, "user", s(3)),
+            # c3: hole (idx 0, 2) and a role repeat
+            ("c3", 0, "user", s(0)), ("c3", 2, "user", s(1)),
+        ]
+        return spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "ts"])
+
+    def test_hand_cases(self, spark):
+        from hyperloglog_spark.transcripts import conversation_integrity
+
+        got = {r["conv_id"]: r.asDict() for r in conversation_integrity(
+            self._df(spark), "conv_id", "turn_idx", "role", "ts").collect()}
+        assert got["c1"] == {
+            "conv_id": "c1", "n_turns": 4, "n_roles": 2, "dup_turn_idx": 0,
+            "missing_turn_idx": 0, "ts_inversions": 0, "role_repeats": 0,
+            "is_valid": True}
+        c2 = got["c2"]
+        assert c2["dup_turn_idx"] == 1
+        assert c2["missing_turn_idx"] == 0   # idx {0,1,2}: no hole
+        assert c2["ts_inversions"] == 1      # s(3) after s(6)
+        assert c2["role_repeats"] == 1       # assistant, assistant
+        assert not c2["is_valid"]
+        c3 = got["c3"]
+        assert c3["missing_turn_idx"] == 1 and c3["dup_turn_idx"] == 0
+        assert c3["role_repeats"] == 1 and not c3["is_valid"]
+
+    def test_single_exchange_plan(self, spark):
+        from hyperloglog_spark.transcripts import conversation_integrity
+
+        spark.catalog.clearCache()
+        plan = conversation_integrity(
+            self._df(spark), "conv_id", "turn_idx", "role", "ts"
+        )._jdf.queryExecution().executedPlan().toString()
+        # the groupBy(conv) must reuse the window's hash partitioning
+        assert plan.count("Exchange") <= 1
