@@ -837,6 +837,29 @@ def q_text_repetition_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_curate_documents(spark, sf_dir):
+    """END-TO-END curation composition (lang ID -> quality -> repetition ->
+    exact dedup -> decontamination -> deterministic sample -> keep), the
+    one-call training-data pipeline. Stages 1-3+6 are a single codegen
+    pass; dedup is one window Exchange on the md5 fingerprint; decontam is
+    the broadcast gram probe. md5 hashing mode makes EVERY flag — and the
+    final keep conjunction — replayable in ANSI SQL, so the oracle checks
+    the whole composition, not the stages in isolation."""
+    from hyperloglog_spark.pipeline import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs, "text", "doc_id",
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        langs=("en",), min_quality=300, sample_permille=900,
+        hashing="md5",
+    )
+    return out.select(
+        "doc_id", "lang_pred", "score", "repetitive", "is_canonical",
+        "contaminated", "sampled", "lang_ok", "quality_ok", "keep",
+    ).orderBy("doc_id")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Bottom-k shingle fingerprints, hashing=md5 so the fingerprint (sum
     of the 4 smallest 60-bit shingle hashes) is bit-reproducible in the
@@ -1506,6 +1529,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_repetition_stats": q_text_repetition_stats,
+    "curate_documents": q_curate_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_features": q_multimodal_features,
     "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
@@ -1966,6 +1990,111 @@ SELECT CASE
        ['the','a','an','and','of','to','in','is','it','that','for'])) > 0 THEN 'en'
   ELSE 'unknown' END AS lang_pred, count(*) AS n_docs
 FROM documents GROUP BY lang_pred ORDER BY lang_pred
+""",
+    "curate_documents": r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w,
+         length(text) AS n_chars
+  FROM documents
+), lang AS (
+  SELECT doc_id, CASE
+    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]') THEN 'zh'
+    WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+    WHEN regexp_matches(text, '[äöüßÄÖÜ]') THEN 'de'
+    WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+    WHEN regexp_matches(text, '[èêëçàâîôûœ]') THEN 'fr'
+    WHEN len(list_intersect(w,
+         ['the','a','an','and','of','to','in','is','it','that','for'])) > 0 THEN 'en'
+    ELSE 'unknown' END AS lang_pred
+  FROM t
+), qual AS (
+  SELECT doc_id,
+         greatest(least(CAST(floor(
+           least(len(w), 200) * 2
+           + least(CAST(floor(len(list_intersect(w,
+               ['the','a','an','and','of','to','in','is','it','that','for']))
+               * 1000.0 / len(w)) AS BIGINT), 300)
+           + CAST(floor(len(list_distinct(w)) * 1000.0 / len(w)) AS BIGINT) / 5
+           - least(CAST(floor((n_chars - length(regexp_replace(text,
+               '[^\w\s]', '', 'g'))) * 1000.0 / greatest(n_chars, 1))
+               AS BIGINT), 300)) AS BIGINT), 1000), 0) AS score
+  FROM t
+), bgrows AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)
+), bg AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS nbg
+  FROM (SELECT doc_id, g, count(*) AS c FROM bgrows GROUP BY doc_id, g)
+  GROUP BY doc_id
+), tgrows AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)
+), tg AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+         sum(c) AS ntg
+  FROM (SELECT doc_id, g, count(*) AS c FROM tgrows GROUP BY doc_id, g)
+  GROUP BY doc_id
+), rep AS (
+  SELECT t.doc_id,
+    (CASE WHEN len(t.w) > 0 THEN CAST(floor((len(t.w) - len(list_distinct(t.w)))
+         * 1000.0 / len(t.w)) AS BIGINT) ELSE 0 END) > 700
+    OR (CASE WHEN coalesce(bg.nbg, 0) > 0
+         THEN CAST(floor(bg.topc * 1000.0 / bg.nbg) AS BIGINT) ELSE 0 END) > 180
+    OR (CASE WHEN coalesce(tg.ntg, 0) > 0
+         THEN CAST(floor(tg.dupc * 1000.0 / tg.ntg) AS BIGINT) ELSE 0 END) > 300
+    AS repetitive
+  FROM t LEFT JOIN bg ON t.doc_id = bg.doc_id
+         LEFT JOIN tg ON t.doc_id = tg.doc_id
+), canon AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+), samp AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#', '0')), 1, 15))::BIGINT
+          % 1000) < 900 AS sampled
+  FROM documents
+), dw AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), bwx AS (SELECT text, w FROM dw WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS g
+    FROM bwx WHERE len(w) < 3
+    UNION ALL
+    SELECT ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS g
+    FROM bwx, UNNEST(range(1, len(w) - 1)) AS t(i)
+  )
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS g
+    FROM dw WHERE len(w) < 3
+    UNION ALL
+    SELECT doc_id, ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS g
+    FROM dw, UNNEST(range(1, len(w) - 1)) AS t(i)
+  )
+), cont AS (
+  SELECT doc_id,
+         ((1000 * CAST(sum(CASE WHEN g IN (SELECT g FROM bgrams) THEN 1
+             ELSE 0 END) AS BIGINT)) // count(*)) >= 500 AS contaminated
+  FROM dg GROUP BY doc_id
+)
+SELECT d.doc_id, lang.lang_pred, qual.score, rep.repetitive,
+       canon.is_canonical, coalesce(cont.contaminated, FALSE) AS contaminated,
+       samp.sampled,
+       lang.lang_pred IN ('en') AS lang_ok,
+       qual.score >= 300 AS quality_ok,
+       canon.is_canonical AND lang.lang_pred IN ('en')
+         AND qual.score >= 300 AND NOT rep.repetitive
+         AND NOT coalesce(cont.contaminated, FALSE) AND samp.sampled AS keep
+FROM documents d
+JOIN lang ON d.doc_id = lang.doc_id
+JOIN qual ON d.doc_id = qual.doc_id
+JOIN rep ON d.doc_id = rep.doc_id
+JOIN canon ON d.doc_id = canon.doc_id
+JOIN samp ON d.doc_id = samp.doc_id
+LEFT JOIN cont ON d.doc_id = cont.doc_id
+ORDER BY d.doc_id
 """,
     "text_repetition_stats": r"""
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -68,7 +68,8 @@ def main() -> None:
     )
     from hyperloglog_spark.engine.session import get_spark
     from hyperloglog_spark.pipeline import (
-        asof_join, brute_force_topk, embedding_neardup_pairs, ivf_topk,
+        asof_join, brute_force_topk, curate_documents,
+        embedding_neardup_pairs, ivf_topk,
         near_dup_clusters, near_dup_pairs, ngram_contamination,
         ngram_jaccard_pairs, quality_score, repetition_stats,
     )
@@ -197,6 +198,18 @@ def main() -> None:
         ).groupBy().agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("contaminated").cast("int")).alias("n_contaminated"),
+        ),
+        # full curation composition: lang/quality/repetition/sample in one
+        # codegen pass + dedup window + decontam broadcast probe — the
+        # one-call training-data pipeline, reduced to a keep-count summary
+        "curate_documents": lambda: curate_documents(
+            t(spark, "documents"), "text", "doc_id",
+            benchmark=t(spark, "documents").filter(
+                F.col("doc_id") % 50 == 0),
+            sample_permille=900,
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
         ),
         # as-of join: every assistant turn -> most recent prior user turn
         # in its conversation (one window shuffle, no range join), reduced

@@ -38,6 +38,7 @@ from .sampling import (
 )
 from .decontam import ngram_contamination
 from .temporal import asof_join
+from .curate import curate_documents
 from .text import (doc_fingerprints, lang_id, quality_score,
                    repetition_stats, token_stats)
 
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_topk",
     "fit_ivf_centroids",
     "embedding_neardup_pairs",
+    "curate_documents",
     "doc_fingerprints",
     "repetition_stats",
     "lang_id",

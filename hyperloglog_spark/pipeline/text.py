@@ -62,10 +62,14 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str, id_col: str, append: bool = False
+) -> DataFrame:
     """Integer-arithmetic quality heuristic (length, stopword ratio,
     punctuation ratio, lexical diversity). All components are exposed so a
-    pipeline can filter on any of them; ``score`` ∈ [0, 1000]."""
+    pipeline can filter on any of them; ``score`` ∈ [0, 1000].
+    ``append=True`` keeps the input columns (for single-pass pipeline
+    composition) instead of projecting down to (id, metrics)."""
     t = F.col(text_col)
     toks = F.split(F.lower(t), " ")
     n_chars = F.length(t)
@@ -94,13 +98,17 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     score = F.greatest(F.least(F.floor(score).cast("long"), F.lit(1000)),
                        F.lit(0))
+    metrics = {
+        "n_tokens": n_tokens,
+        "stop_permille": stop_pm,
+        "punct_permille": punct_pm,
+        "ttr_permille": ttr_pm,
+        "score": score,
+    }
+    if append:
+        return df.withColumns(metrics)
     return df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        stop_pm.alias("stop_permille"),
-        punct_pm.alias("punct_permille"),
-        ttr_pm.alias("ttr_permille"),
-        score.alias("score"),
+        F.col(id_col), *[c.alias(n) for n, c in metrics.items()]
     )
 
 
@@ -146,6 +154,7 @@ def repetition_stats(
     flag_top_bigram_permille: int = 180,
     flag_dup_trigram_permille: int = 300,
     flag_dup_word_permille: int = 700,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public) for
     training-data quality filtering, word-level:
@@ -164,22 +173,22 @@ def repetition_stats(
     shuffle: zero Exchanges for the stats themselves.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
-    df2 = df.select(F.col(id_col), toks.alias("__w"))
-    df2 = df2.select(
-        F.col(id_col),
-        F.size("__w").alias("__nt"),
-        F.size(F.array_distinct("__w")).alias("__ty"),
-        _ngram_array("__w", 2).alias("__bg"),
-        _ngram_array("__w", 3).alias("__tg"),
-    )
-    df2 = df2.select(
-        F.col(id_col),
-        F.col("__nt"),
-        F.col("__ty"),
-        F.size("__bg").alias("__nbg"),
-        F.size("__tg").alias("__ntg"),
-        _run_length_stats("__bg").alias("__bs"),
-        _run_length_stats("__tg").alias("__ts"),
+    temps = ["__w", "__nt", "__ty", "__bg", "__tg", "__nbg", "__ntg",
+             "__bs", "__ts"]
+    df2 = (
+        df.withColumn("__w", toks)
+        .withColumns({
+            "__nt": F.size("__w"),
+            "__ty": F.size(F.array_distinct("__w")),
+            "__bg": _ngram_array("__w", 2),
+            "__tg": _ngram_array("__w", 3),
+        })
+        .withColumns({
+            "__nbg": F.size("__bg"),
+            "__ntg": F.size("__tg"),
+            "__bs": _run_length_stats("__bg"),
+            "__ts": _run_length_stats("__tg"),
+        })
     )
 
     def permille(num: F.Column, den: F.Column) -> F.Column:
@@ -192,19 +201,23 @@ def repetition_stats(
     dup_bg = permille(F.col("__bs.dup"), F.col("__nbg"))
     top_tg = permille(F.col("__ts.maxr"), F.col("__ntg"))
     dup_tg = permille(F.col("__ts.dup"), F.col("__ntg"))
-    return df2.select(
-        F.col(id_col),
-        F.col("__nt").cast("long").alias("n_tokens"),
-        dup_word.alias("dup_word_permille"),
-        top_bg.alias("top_bigram_permille"),
-        dup_bg.alias("dup_bigram_permille"),
-        top_tg.alias("top_trigram_permille"),
-        dup_tg.alias("dup_trigram_permille"),
-        (
+    metrics = {
+        "n_tokens": F.col("__nt").cast("long"),
+        "dup_word_permille": dup_word,
+        "top_bigram_permille": top_bg,
+        "dup_bigram_permille": dup_bg,
+        "top_trigram_permille": top_tg,
+        "dup_trigram_permille": dup_tg,
+        "repetitive": (
             (dup_word > F.lit(flag_dup_word_permille))
             | (top_bg > F.lit(flag_top_bigram_permille))
             | (dup_tg > F.lit(flag_dup_trigram_permille))
-        ).alias("repetitive"),
+        ),
+    }
+    if append:
+        return df2.withColumns(metrics).drop(*temps)
+    return df2.select(
+        F.col(id_col), *[c.alias(n) for n, c in metrics.items()]
     )
 
 

@@ -1023,3 +1023,60 @@ def test_repetition_stats_plan_has_zero_exchanges(docs):
     ).executedPlan().toString()
     # per-row sort+fold in codegen: the stats must not shuffle anything
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- curation pipeline
+
+
+def test_curate_documents_flags_and_keep(spark):
+    from hyperloglog_spark.pipeline import curate_documents
+
+    rows = [
+        (1, "the cat sat on the mat with a hat and a bat near the door"),
+        (2, "the cat sat on the mat with a hat and a bat near the door"),
+        (3, "x y " * 40),                       # repetitive, not en
+        (4, "это русский текст для проверки"),  # ru
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in curate_documents(df, "text", "doc_id").collect()}
+    # dup pair: only the min id is canonical
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
+    assert got[1]["lang_ok"] and got[1]["lang_pred"] == "en"
+    assert got[3]["repetitive"] and not got[3]["keep"]
+    assert got[4]["lang_pred"] == "ru" and not got[4]["lang_ok"]
+    assert not got[2]["keep"]  # same text, loses only on canonicality
+    assert all(r["sampled"] for r in got.values())  # rate 1000 keeps all
+
+
+def test_curate_documents_deterministic_under_repartition(docs):
+    from hyperloglog_spark.pipeline import curate_documents
+
+    a = sorted(map(tuple, curate_documents(
+        docs, "text", "doc_id", sample_permille=700).collect()))
+    b = sorted(map(tuple, curate_documents(
+        docs.repartition(11), "text", "doc_id",
+        sample_permille=700).collect()))
+    assert a == b
+    kept = sum(1 for r in a if r[-1])
+    assert 0 < kept < len(a)  # the sample + gates actually drop something
+
+
+def test_curate_documents_plan_shape(docs):
+    from hyperloglog_spark.pipeline import curate_documents
+
+    docs.sparkSession.catalog.clearCache()
+    # without decontam: lang/quality/repetition/sample are pure codegen,
+    # the only Exchange is the dedup window's fingerprint shuffle
+    plan = curate_documents(docs, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    # with decontam: gram probe is a broadcast, never a SortMergeJoin of
+    # gram tables; the doc-id join adds bounded Exchanges
+    bench = docs.filter("doc_id % 50 = 0")
+    plan2 = curate_documents(
+        docs, "text", "doc_id", benchmark=bench
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("Exchange") <= 6
