@@ -1976,7 +1976,9 @@ SELECT doc_id, length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_types,
        CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000.0
-            / len(string_split(text, ' '))) AS BIGINT) AS ttr_permille
+            / len(string_split(text, ' '))) AS BIGINT) AS ttr_permille,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+            AS BIGINT) AS n_subtokens
 FROM documents ORDER BY doc_id
 """,
     "text_lang_id": r"""

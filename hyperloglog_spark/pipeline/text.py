@@ -45,12 +45,25 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     return df.withColumn(out_col, pred)
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs — the
+# GPT-2-family split boundaries without merges. ASCII classes on purpose:
+# Java (Spark) and RE2/PCRE (DuckDB and most oracles) agree on them exactly,
+# so the count is engine-reproducible; a real tokenizer plugs in behind a
+# mapInPandas if an exact vocab count is needed.
+_SUBTOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, n_chars, n_tokens, n_types, ttr_permille): whitespace tokens +
-    type/token ratio. ttr_permille = floor(n_types * 1000 / n_tokens)."""
+    """(id, n_chars, n_tokens, n_types, ttr_permille, n_subtokens):
+    whitespace tokens + type/token ratio, plus a BPE-ish subtoken count
+    (letter/digit/punctuation runs — the pre-merge token boundary count, a
+    deterministic proxy for tokenizer cost when budgeting a corpus)."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     n_types = F.size(F.array_distinct(toks))
+    n_sub = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(_SUBTOKEN_RE), 0)
+    )
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
@@ -59,6 +72,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.floor(
             n_types.cast("double") * F.lit(1000.0) / n_tokens.cast("double")
         ).cast("long").alias("ttr_permille"),
+        n_sub.cast("long").alias("n_subtokens"),
     )
 
 

@@ -264,16 +264,28 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
 
 def test_token_stats_vs_duckdb(docs):
     got = {r["doc_id"]: (r["n_chars"], r["n_tokens"], r["n_types"],
-                         r["ttr_permille"])
+                         r["ttr_permille"], r["n_subtokens"])
            for r in token_stats(docs, "text", "doc_id").collect()}
-    want = {r[0]: tuple(r[1:]) for r in duckdb.sql(f"""
+    want = {r[0]: tuple(r[1:]) for r in duckdb.sql(rf"""
         SELECT doc_id, length(text),
                len(string_split(text, ' ')),
                len(list_distinct(string_split(text, ' '))),
                CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000.0
-                    / len(string_split(text, ' '))) AS BIGINT)
+                    / len(string_split(text, ' '))) AS BIGINT),
+               CAST(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT)
         FROM '{DOCS}'""").fetchall()}
     assert got == want
+
+
+def test_subtoken_count_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42x don't"), (2, "a  b"), (3, "...")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_subtokens"]
+           for r in token_stats(df, "text", "doc_id").collect()}
+    # Hello , world ! 42 x don ' t -> 9 ; a b -> 2 ; ... -> 1
+    assert got == {1: 9, 2: 2, 3: 1}
 
 
 def test_quality_score_bounds_and_determinism(docs):
