@@ -17,20 +17,28 @@ Stage order (and what each adds):
 7. ``keep`` = canonical AND lang_ok AND quality_ok AND NOT repetitive
               AND NOT contaminated AND sampled
 
-Stages 1-3 and 6 are pure Catalyst column expressions computed in the SAME
-single pass over the text (no joins, no shuffles); only dedup (a window on
-the md5 fingerprint) and decontamination (the gram explode + broadcast
-probe + per-doc rollup of ``ngram_contamination``) shuffle, and both shuffle
-keys/ids, never payloads. Every flag is deterministic and (in md5 hashing
-mode) exactly replayable in ANSI SQL — the driver oracle checks the whole
-composition end-to-end, not just the stages.
+Stages 1-3 and 6 are pure Catalyst column expressions computed in a single
+codegen pass over the text; the TEXT COLUMN NEVER CROSSES AN EXCHANGE
+(plan-asserted). Dedup runs on a narrow (fingerprint, id) projection — a
+second scan of two columns beats shuffling uncompressed text rows by
+orders of magnitude at 100 TB — and the verdicts join on bare ids, so
+every shuffled row is a few dozen bytes of id + integer flags. The result
+deliberately does NOT carry the text: materialize the training set with a
+semi-join of ``filter("keep")`` ids back to the corpus (broadcast it when
+the kept set is small; the ids are exactly the Bloom-semi-join shape of
+``membership.bloom_filtered_join`` when it is not).
+
+Every flag is deterministic and (in md5 hashing mode) exactly replayable
+in ANSI SQL — the driver oracle checks the whole composition end-to-end,
+not just the stages.
 
 Scale notes: the dedup window partitions by the 128-bit md5 fingerprint; a
-pathological mass-duplicate fingerprint lands in one task (external sort
-spills rather than OOMs). When the corpus is known to contain million-copy
-boilerplate, use ``pipeline.dedup.exact_dedup`` (groupBy with map-side
-combine collapses hot fingerprints before the shuffle) and join its
-representatives instead — same semantics, one more Exchange.
+pathological mass-duplicate fingerprint lands in one task, but its rows
+are 24-byte (fp, id) pairs and Spark's window sort spills rather than
+OOMs. When the corpus is known to contain million-copy boilerplate, use
+``pipeline.dedup.exact_dedup`` (groupBy with map-side combine collapses
+hot fingerprints before the shuffle) and join its representatives
+instead — same semantics, one more Exchange.
 """
 
 from __future__ import annotations
@@ -80,18 +88,6 @@ def curate_documents(
         flag_dup_word_permille=flag_dup_word_permille,
         append=True,
     )
-
-    # exact dedup: canonical = smallest id among byte-identical texts.
-    # The window key is the md5 fingerprint (16 bytes), never the text.
-    w = Window.partitionBy("__fp")
-    d = (
-        d.withColumn("__fp", F.md5(F.col(text_col)))
-        .withColumn(
-            "is_canonical", F.col(id_col) == F.min(id_col).over(w)
-        )
-        .drop("__fp")
-    )
-
     # deterministic sample on the id hash — partitioning-invariant,
     # md5 mode replays as (hv % 1000) < rate in SQL
     d = d.withColumn(
@@ -99,6 +95,23 @@ def curate_documents(
         F.pmod(_hash_expr([id_col], hashing), F.lit(1000))
         < F.lit(sample_permille),
     )
+    # the text has served its purpose: drop it BEFORE anything shuffles,
+    # so every Exchange below moves id + integer-flag rows only
+    d = d.drop(text_col)
+
+    # exact dedup: canonical = smallest id among byte-identical texts.
+    # Computed on a narrow (md5 fingerprint, id) second scan — 24-byte
+    # rows through the window shuffle instead of text payloads — then
+    # joined back on the id.
+    w = Window.partitionBy("__fp")
+    canon = (
+        df.select(F.md5(F.col(text_col)).alias("__fp"), F.col(id_col))
+        .withColumn(
+            "is_canonical", F.col(id_col) == F.min(id_col).over(w)
+        )
+        .drop("__fp")
+    )
+    d = d.join(canon, id_col, "inner")
 
     if benchmark is not None:
         cont = ngram_contamination(

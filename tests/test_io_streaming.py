@@ -431,3 +431,65 @@ def test_streaming_theta_bytes_match_batch(spark, tmp_path):
     want = bytes(theta_sketch_agg(batch, "u", k=256).first()["sketch"])
     assert sk == want
     assert theta.estimate(sk) == emitted[-1]["n_distinct_est"]
+
+
+def test_streaming_cbf_bytes_match_batch(spark, tmp_path):
+    """Counting Bloom streamed over micro-batches == batch build
+    byte-for-byte: the merge is vector addition (a commutative group), so
+    micro-batch bracketing cannot change the counters — and deletions
+    arriving in different triggers than their inserts still cancel."""
+    from hyperloglog_spark.membership import CbfAggregator, cbf_build
+    from hyperloglog_spark.streaming import streaming_sketch_agg
+
+    rows = [("shard", f"k-{i % 400}", 1) for i in range(1200)] + \
+           [("shard", f"k-{i}", -1) for i in range(100)]
+    batch = spark.createDataFrame(rows, ["g", "key", "d"])
+    src = str(tmp_path / "src-cbf")
+    batch.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(
+        stream, "key", CbfAggregator(log2_m=12, k=3, delta_col="d"), "g",
+        emit_sketch=True,
+    )
+    (out.writeStream.format("memory").queryName("q_cbf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-cbf"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_cbf").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+
+    want = cbf_build(batch, "key", delta_col="d", log2_m=12, k=3)
+    assert sk == want
+    assert emitted[-1]["net_added"] == 1100
+
+
+def test_streaming_countsketch_bytes_match_batch(spark, tmp_path):
+    """Count sketch streamed == batch byte-for-byte (signed counter
+    addition is a commutative group)."""
+    from hyperloglog_spark.frequency import CountSketchAggregator
+    from hyperloglog_spark.engine.aggregate import sketch_agg
+    from hyperloglog_spark.streaming import streaming_sketch_agg
+
+    rows = [("shard", f"t-{i % 37}") for i in range(1500)]
+    batch = spark.createDataFrame(rows, ["g", "v"])
+    src = str(tmp_path / "src-cs")
+    batch.repartition(5).write.parquet(src)
+
+    agg = CountSketchAggregator(d=5, log2_w=10)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(stream, "v", agg, "g", emit_sketch=True)
+    (out.writeStream.format("memory").queryName("q_cs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-cs"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_cs").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+
+    want = bytes(
+        sketch_agg(batch, ["v"], agg, ["g"], finalize=False)
+        .first()["sketch"]
+    )
+    assert sk == want
