@@ -269,6 +269,27 @@ def q_cms_join_size_orders_customer(spark, sf_dir):
     ).select("est_join_size", "n_a", "n_b")
 
 
+def q_embedding_topk_pq(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011) end to end: distributed
+    1-iteration grid-mode codebook fit (m=4 subspaces x 8 codes), ADC
+    shortlist over the byte codes, exact cosine re-rank of the broadcast
+    shortlist (the IVFADC+R shape). ALGORITHM-MIRROR oracle: md5 init keys
+    + integer-grid centroid updates make the ENTIRE fit + encode + ADC +
+    re-rank replayable in SQL — the oracle recomputes the codebooks from
+    scratch, not from literals."""
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=4, n_codes=8, iters=1,
+        grid_bits=20, hashing="md5",
+    )
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, codebooks=cb, refine=True, refine_k=32,
+    )
+
+
 def q_fd_gram_embeddings(spark, sf_dir):
     """Frequent Directions (Liberty 2013) Gram sketch over the embeddings
     table, EXACT-REGIME oracle: 500 rows <= buffer capacity 2*ell=1024, so
@@ -1492,6 +1513,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top5_partkeys": q_cms_top5_partkeys,
+    "embedding_topk_pq": q_embedding_topk_pq,
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "cbf_deleted_membership": q_cbf_deleted_membership,
     "bloom_custkey_members": q_bloom_custkey_members,
@@ -1701,6 +1723,88 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "cms_top5_partkeys":
         "SELECT l_partkey, count(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey ORDER BY approx_count DESC, l_partkey LIMIT 5",
+    "embedding_topk_pq": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM e
+), keyed AS (
+  SELECT vec_id, u,
+         ('0x' || substr(md5(concat(CAST(vec_id AS VARCHAR), '#', '311')), 1, 15))::BIGINT AS mk
+  FROM n
+), init AS (
+  SELECT row_number() OVER (ORDER BY mk, vec_id) - 1 AS code, u AS cu
+  FROM keyed ORDER BY mk, vec_id LIMIT 8
+), initcb AS (
+  SELECT t.s, i.code, i.cu[t.s * 16 + 1 : (t.s + 1) * 16] AS cb
+  FROM init i, range(4) t(s)
+), subv AS (
+  SELECT n.vec_id, t.s, n.u[t.s * 16 + 1 : (t.s + 1) * 16] AS sub
+  FROM n, range(4) t(s)
+), asgn AS (
+  SELECT sv.vec_id, sv.s, sv.sub, c.code,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+           list_sum(list_transform(range(1, 17),
+             j -> (sv.sub[j] - c.cb[j]) * (sv.sub[j] - c.cb[j]))) ASC,
+           c.code) AS rn
+  FROM subv sv JOIN initcb c ON sv.s = c.s
+), members AS (
+  SELECT s, code, sub FROM asgn WHERE rn = 1
+), stats AS (
+  SELECT s, code, pos, sum(floor(val * 1048576.0)) AS sm, count(*) AS cnt
+  FROM (SELECT s, code, unnest(sub) AS val,
+               unnest(range(1, 17)) AS pos FROM members)
+  GROUP BY s, code, pos
+), graw AS (
+  SELECT s, code, list(floor(sm / cnt) / 1048576.0 ORDER BY pos) AS gv
+  FROM stats GROUP BY s, code
+), cb AS (
+  SELECT i.s, i.code, coalesce(g.gv, i.cb) AS cb
+  FROM initcb i LEFT JOIN graw g ON i.s = g.s AND i.code = g.code
+), enc AS (
+  SELECT sv.vec_id, sv.s, c.code,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+           list_sum(list_transform(range(1, 17),
+             j -> (sv.sub[j] - c.cb[j]) * (sv.sub[j] - c.cb[j]))) ASC,
+           c.code) AS rn
+  FROM subv sv JOIN cb c ON sv.s = c.s
+), codes AS (
+  SELECT vec_id, s, code FROM enc WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, s, sub AS qs FROM subv WHERE vec_id < 8
+), adc AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         sum(list_sum(list_transform(range(1, 17),
+             j -> q.qs[j] * c.cb[j]))) AS adc_score
+  FROM qsub q
+  JOIN codes x ON q.s = x.s
+  JOIN cb c ON c.s = x.s AND c.code = x.code
+  WHERE q.query_id <> x.vec_id
+  GROUP BY q.query_id, x.vec_id
+), short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           CAST(floor(1000.0 * adc_score) AS BIGINT) DESC, neighbor_id) AS srn
+  FROM adc
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(qn.u) + 1),
+              i -> qn.u[i] * nn.u[i]))) AS BIGINT) AS score_permille
+  FROM short s
+  JOIN n qn ON qn.vec_id = s.query_id
+  JOIN n nn ON nn.vec_id = s.neighbor_id
+  WHERE s.srn <= 32
+)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id,
+       score_permille
+FROM rerank
+WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""",
     "fd_gram_embeddings": """
 WITH v AS (
   SELECT list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 100)) AS e

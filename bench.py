@@ -75,7 +75,7 @@ def main() -> None:
     )
     from hyperloglog_spark.membership import bloom_filtered_join
     from hyperloglog_spark.pipeline.similarity import (
-        fit_ivf_centroids_distributed,
+        fit_ivf_centroids_distributed, fit_pq_codebooks, pq_topk,
     )
     from hyperloglog_spark.setops import (
         theta_set_cardinalities, theta_sketch_agg,
@@ -146,6 +146,17 @@ def main() -> None:
             centroids=fit_ivf_centroids_distributed(
                 t(spark, "embeddings"), "vec_id", "embedding",
                 n_cells=16, iters=2,
+            ),
+        ),
+        # PQ ANN: 1-iter codebook fit + byte-code ADC shortlist + exact
+        # re-rank (IVFADC+R shape) — the memory-scale ANN path
+        "embedding_topk_pq": lambda: pq_topk(
+            t(spark, "embeddings"),
+            t(spark, "embeddings").filter(F.col("vec_id") < 32),
+            "vec_id", "embedding", k=10,
+            codebooks=fit_pq_codebooks(
+                t(spark, "embeddings"), "vec_id", "embedding",
+                m=8, n_codes=16, iters=1,
             ),
         ),
         "neardup_clusters_docs": lambda: near_dup_clusters(

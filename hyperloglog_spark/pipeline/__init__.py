@@ -27,8 +27,11 @@ from .similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
     fit_ivf_centroids,
+    fit_pq_codebooks,
     ivf_topk,
     lsh_topk,
+    pq_encode,
+    pq_topk,
 )
 from .sampling import (
     deterministic_sample,
@@ -57,6 +60,9 @@ __all__ = [
     "blocked_topk",
     "lsh_topk",
     "ivf_topk",
+    "fit_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "fit_ivf_centroids",
     "embedding_neardup_pairs",
     "curate_documents",

@@ -731,3 +731,288 @@ def blocked_topk(
         .applyInPandas(_topk_merge(k), _TOPK_SCHEMA)
         .orderBy("query_id", "rank")
     )
+
+
+# -------------------------------------------------- product quantization
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    seed: int = 311,
+    grid_bits: int | None = None,
+    hashing: str = "xxhash64",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze & Schmid 2011, PAMI):
+    split each (normalized) vector into ``m`` subvectors and k-means each
+    subspace independently into ``n_codes`` centroids. Returns
+    ``(m, n_codes, dim//m)`` float64 codebooks.
+
+    Distribution shape mirrors ``fit_ivf_centroids_distributed``: init is
+    the ``n_codes`` bottom-hash rows (O(n_codes) collect), every Lloyd's
+    round reduces to ``m * n_codes * (dim/m + 1)`` sufficient-statistic
+    rows via mapInArrow + map-side-combined groupBy — NOTHING driver-side
+    scales with the corpus. ``grid_bits`` + ``hashing="md5"`` makes the
+    whole fit bit-replayable in SQL (the oracle mode; subspace means are
+    sums of floor(u * 2^bits), exact and order-independent).
+    """
+    key = _quantizer_key(id_col, seed, hashing)
+    init_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key, F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+    vecs = _normalize(np.array([r[1] for r in init_rows], dtype=np.float64))
+    n_codes = len(vecs)
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    # codebook[s][c] = subvector s of init row c
+    cb = np.ascontiguousarray(
+        vecs.reshape(n_codes, m, d).transpose(1, 0, 2)
+    ).astype(np.float64)
+    scale = float(1 << grid_bits) if grid_bits else None
+
+    for _ in range(iters):
+        cb_cur = cb
+
+        def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                mat = _normalize(_vec_matrix(batch.column(0)))
+                subs = mat.reshape(len(mat), m, d)
+                vals = np.floor(subs * scale) if scale else subs
+                ss, cc, pp, vv = [], [], [], []
+                for s in range(m):
+                    # L2 assignment, ties -> lower code (argmin is first)
+                    dist = (
+                        (subs[:, s, :, None] - cb_cur[s].T[None]) ** 2
+                    ).sum(axis=1)
+                    assign = np.argmin(dist, axis=1)
+                    for c in np.unique(assign):
+                        members = vals[assign == c, s, :]
+                        row = np.concatenate(
+                            ([float(len(members))], members.sum(axis=0))
+                        )
+                        ss.append(np.full(d + 1, s, dtype=np.int64))
+                        cc.append(np.full(d + 1, c, dtype=np.int64))
+                        pp.append(np.arange(d + 1, dtype=np.int64))
+                        vv.append(row)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(ss), pa.int64()),
+                        pa.array(np.concatenate(cc), pa.int64()),
+                        pa.array(np.concatenate(pp), pa.int64()),
+                        pa.array(np.concatenate(vv), pa.float64()),
+                    ],
+                    names=["s", "code", "pos", "val"],
+                )
+
+        stats = (
+            corpus.select(vec_col)
+            .mapInArrow(fn, "s bigint, code bigint, pos bigint, val double")
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        counts = np.zeros((m, n_codes))
+        sums = np.zeros((m, n_codes, d))
+        for r in stats:
+            if r["pos"] == 0:
+                counts[r["s"], r["code"]] = r["val"]
+            else:
+                sums[r["s"], r["code"], r["pos"] - 1] = r["val"]
+        new = cb.copy()                    # dead codes keep previous
+        for s in range(m):
+            live = counts[s] > 0
+            if scale:
+                new[s][live] = np.floor(
+                    sums[s][live] / counts[s][live, None]
+                ) / scale
+            else:
+                new[s][live] = sums[s][live] / counts[s][live, None]
+        cb = new
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes binary) with one byte per
+    subspace — the storable ANN index. At dim=1024 float32 this is a
+    4096 B -> m B compression (512x at m=8); a 10^12-row corpus index fits
+    in ~8 TB instead of 4 PB, which is the difference between an index you
+    can broadcast-scan and one you cannot hold at all."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, d = cb.shape
+    if n_codes > 256:
+        raise ValueError("pq_encode packs one byte per subspace: n_codes <= 256")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            subs = mat.reshape(len(mat), m, d)
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for s in range(m):
+                dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(list(codes.tobytes(order="C")[i * m:(i + 1) * m]
+                               for i in range(len(mat))), pa.binary())],
+                names=[id_col, "codes"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        fn, f"{id_col} bigint, codes binary"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    seed: int = 311,
+    grid_bits: int | None = None,
+    hashing: str = "xxhash64",
+    exclude_self: bool = True,
+    max_queries: int = 4096,
+    refine: bool = True,
+    refine_k: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: score every corpus row against every
+    query through per-subspace lookup tables (LUT[s][code] = q_s . cb[s]),
+    never touching the original vectors after encoding — the memory-scale
+    ANN path (the index is m bytes/row). Output shape matches the other
+    ANN operators: (query_id, rank, neighbor_id, score_permille).
+
+    ``refine=True`` (default, the standard IVFADC+R shape): the ADC pass
+    produces a ``refine_k`` (default max(4k, 32)) shortlist per query,
+    which is broadcast back against the corpus for an exact cosine
+    re-rank — ADC alone cannot order near-duplicate neighbors whose true
+    scores differ by less than the quantization error, the re-rank can,
+    and the extra cost is one broadcast-hash-join scan (the corpus never
+    shuffles). ``refine=False`` returns raw ADC scores.
+
+    Queries are collected to the driver under the same enforced budget as
+    ``brute_force_topk`` (``limit(max_queries+1)`` is both the probe and
+    the materialization); corpus-scale query sets belong in
+    ``blocked_topk``. Per corpus batch only the local top-shortlist per
+    query leaves the scan, so the shuffle is O(n_queries * refine_k *
+    partitions).
+    """
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=iters,
+            seed=seed, grid_bits=grid_bits, hashing=hashing,
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, d = cb.shape
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query set to build LUTs; got more than "
+            f"max_queries={max_queries} rows — use blocked_topk for "
+            "corpus-scale query sets or raise the budget explicitly"
+        )
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # LUT[q, s, c] = q_sub(s) . cb[s][c]
+    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
+    nq = len(q_ids)
+    shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            subs = mat.reshape(len(mat), m, d)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
+                codes[:, s] = np.argmin(dist, axis=1)
+            # ADC: scores[b, q] = sum_s LUT[q, s, codes[b, s]]
+            scores = np.zeros((len(mat), nq))
+            for s in range(m):
+                scores += lut[:, s, codes[:, s]].T
+            pm = np.floor(scores * 1000.0).astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                col = pm[:, qi]
+                nids = ids
+                if exclude_self:
+                    keep = nids != q_ids[qi]
+                    col, nids = col[keep], nids[keep]
+                if not len(col):
+                    continue
+                take = min(shortlist_k, len(col))
+                part = np.argpartition(-col, take - 1)[:take]
+                # deterministic local order: score desc, neighbor asc
+                order = part[np.lexsort((nids[part], -col[part]))]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_n.append(nids[order])
+                out_s.append(col[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), pa.int64()),
+                 pa.array(np.concatenate(out_n), pa.int64()),
+                 pa.array(np.concatenate(out_s), pa.int64())],
+                names=["query_id", "neighbor_id", "score_permille"],
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInArrow(
+        fn, "query_id bigint, neighbor_id bigint, score_permille bigint"
+    )
+    adc_topk = (
+        scored.groupBy("query_id")
+        .applyInPandas(_topk_merge(shortlist_k), _TOPK_SCHEMA)
+    )
+    if not refine:
+        return adc_topk.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+    # exact re-rank of the broadcast shortlist: one more corpus scan, a
+    # broadcast hash join (the corpus never shuffles), then the shared
+    # exact-cosine tail
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in r[1]]) for i, r in zip(q_ids, q_rows)],
+        T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
+        ]),
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .join(F.broadcast(adc_topk.select("query_id", "neighbor_id")),
+              "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", vec_col, "__qv")
+    )
+    return _score_and_topk(cand, k)

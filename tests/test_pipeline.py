@@ -1105,3 +1105,83 @@ def test_curate_documents_plan_shape(docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
     assert plan2.count("Exchange") <= 7
+
+
+# ------------------------------------------------- product quantization
+
+
+def _clustered_vecs(spark, n=400, n_centers=20, dim=32, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim)) * 3
+    pdf = [(int(i),
+            [float(x) for x in centers[i % n_centers]
+             + rng.standard_normal(dim) * 0.1])
+           for i in range(n)]
+    return spark.createDataFrame(pdf, ["vec_id", "embedding"])
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark):
+    """Planted clusters -> ADC over 4-bit-per-subspace codes still ranks
+    the true nearest cluster-mates on top."""
+    from hyperloglog_spark.pipeline import brute_force_topk, pq_topk
+
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df, q, "vec_id", "embedding",
+                                    k=1).collect()}
+    pq = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in pq_topk(df, q, "vec_id", "embedding", k=1,
+                           m=8, n_codes=16, iters=2).collect()}
+    hits = sum(bf[k] == pq.get(k) for k in bf)
+    assert hits / len(bf) >= 0.9
+
+
+def test_pq_fit_grid_mode_partition_invariant(spark):
+    from hyperloglog_spark.pipeline import fit_pq_codebooks
+
+    df = _clustered_vecs(spark, n=200)
+    a = fit_pq_codebooks(df, "vec_id", "embedding", m=4, n_codes=8,
+                         iters=2, grid_bits=20, hashing="md5")
+    b = fit_pq_codebooks(df.repartition(13), "vec_id", "embedding", m=4,
+                         n_codes=8, iters=2, grid_bits=20, hashing="md5")
+    assert a.shape == (4, 8, 8)
+    assert np.array_equal(a, b)  # grid sums are exact -> bit-identical
+
+
+def test_pq_encode_one_byte_per_subspace(spark):
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, pq_encode
+
+    df = _clustered_vecs(spark, n=100)
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=16)
+    rows = pq_encode(df, "vec_id", "embedding", cb).collect()
+    assert len(rows) == 100
+    assert all(len(bytes(r["codes"])) == 8 for r in rows)
+    assert all(b < 16 for r in rows for b in bytes(r["codes"]))
+
+
+def test_pq_topk_query_budget_enforced(spark):
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, pq_topk
+
+    df = _clustered_vecs(spark, n=60)
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=4, n_codes=8)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(df, df, "vec_id", "embedding", k=2, codebooks=cb,
+                max_queries=10)
+
+
+def test_pq_self_score_near_unity(spark):
+    """A query identical to a corpus vector: ADC(self) ~ 1 within the
+    quantization error of reconstructing a unit vector from codewords."""
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, pq_topk
+
+    df = _clustered_vecs(spark, n=200)
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=16,
+                          iters=3)
+    out = pq_topk(df, df.filter(F.col("vec_id") < 5), "vec_id",
+                  "embedding", k=3, codebooks=cb,
+                  exclude_self=False).collect()
+    top = {r["query_id"]: (r["neighbor_id"], r["score_permille"])
+           for r in out if r["rank"] == 1}
+    for qid, (nid, pm) in top.items():
+        assert pm > 900  # tight clusters + trained codebooks reconstruct well
