@@ -207,3 +207,27 @@ def test_theta_set_cardinalities_no_sortmerge(events):
     # broadcast nested loop over single rows, never a shuffled join
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_corpus_never_shuffles(spark):
+    """PQ ADC+rerank: the only Exchanges move (query_id, neighbor_id,
+    score) candidate rows; both corpus passes are scans feeding mapInArrow
+    or a BroadcastHashJoin — never a SortMergeJoin / corpus repartition."""
+    import numpy as np
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, pq_topk
+
+    spark.catalog.clearCache()
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=4, n_codes=8)
+    q = pq_topk(df, df.filter("vec_id < 8"), "vec_id", "embedding",
+                k=3, codebooks=cb)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan       # the rerank shortlist join
+    # exchanges: the shortlist groupBy(query_id) + final topk groupBy +
+    # broadcast exchanges; none may partition by the corpus vector column
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(embedding" not in plan
