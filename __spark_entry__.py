@@ -311,6 +311,33 @@ def q_fd_gram_embeddings(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def q_fd_gram_by_label(spark, sf_dir):
+    """Grouped Frequent Directions: one Gram sketch per label via the
+    two-phase grouped pipeline, reduced to the trace (= sum of squared
+    grid values, exact integers in the exact regime) — verifies the
+    grouped build + merge path end to end against plain SQL."""
+    import numpy as np
+
+    from hyperloglog_spark.linalg import fd_agg
+    from hyperloglog_spark.sketch import fd as fdk
+
+    grid = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> floor(cast(x as double) * 100))"
+        ).alias("vec"),
+    )
+    rows = fd_agg(grid, "vec", group_by="label", ell=128).collect()
+    out = []
+    for r in rows:
+        sk = bytes(r["sketch"])
+        _, _, n, delta, _ = fdk.params(sk)
+        assert delta == 0.0  # exact regime: every label group fits 2*ell
+        out.append((r["label"], int(np.trace(fdk.gram(sk))), n))
+    schema = "label bigint, trace bigint, n_rows bigint"
+    return spark.createDataFrame(out, schema).orderBy("label")
+
+
 def q_cbf_deleted_membership(spark, sf_dir):
     """Counting Bloom filter (Fan et al. 2000) with real deletions: insert
     every order's custkey, delete the 'F'-status ones, probe customers for
@@ -1515,6 +1542,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_top5_partkeys": q_cms_top5_partkeys,
     "embedding_topk_pq": q_embedding_topk_pq,
     "fd_gram_embeddings": q_fd_gram_embeddings,
+    "fd_gram_by_label": q_fd_gram_by_label,
     "cbf_deleted_membership": q_cbf_deleted_membership,
     "bloom_custkey_members": q_bloom_custkey_members,
     "bloom_orders_covered": q_bloom_orders_covered,
@@ -1804,6 +1832,17 @@ FROM rerank
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "fd_gram_by_label": """
+WITH v AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 100)) AS e
+  FROM embeddings
+)
+SELECT label,
+       CAST(sum(list_sum(list_transform(e, x -> x * x))) AS BIGINT) AS trace,
+       count(*) AS n_rows
+FROM v GROUP BY label ORDER BY label
 """,
     "fd_gram_embeddings": """
 WITH v AS (
