@@ -311,6 +311,51 @@ def q_fd_gram_embeddings(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def q_tdigest_weighted_price_quantiles(spark, sf_dir):
+    """Weighted t-digest quantiles (each lineitem price carries l_quantity
+    units of mass — the dedup-aware form). VALIDITY-HARNESS oracle: exact
+    weighted lower-quantiles are SQL-expressible, so the output is
+    (q_permille, exact_q, est_in_bound) where the flag asserts the
+    estimate sits between the exact quantiles at q +/- 1/32 (binary-exact
+    rank epsilon >= the t-digest delta=100 rank error)."""
+    from pyspark.sql import Window
+
+    from hyperloglog_spark import approx_quantiles_weighted
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = approx_quantiles_weighted(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75]
+    ).collect()[0]
+    ests = {250: est["q25"], 500: est["q5"], 750: est["q75"]}
+
+    total = li.agg(F.sum("l_quantity")).collect()[0][0]
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(w).alias("cw"),
+    )
+    eps = 1.0 / 32.0
+    targets = {}
+    for qpm, q in ((250, 0.25), (500, 0.5), (750, 0.75)):
+        targets[qpm] = (q - eps, q, q + eps)
+    aggs = []
+    for qpm, (lo, mid, hi) in targets.items():
+        for tag, qq in (("lo", lo), ("mid", mid), ("hi", hi)):
+            aggs.append(
+                F.min(F.when(F.col("cw") >= F.lit(qq) * F.lit(float(total)),
+                             F.col("p"))).alias(f"{tag}_{qpm}")
+            )
+    ex = cum.agg(*aggs).collect()[0]
+    rows = []
+    for qpm in (250, 500, 750):
+        in_bound = bool(ex[f"lo_{qpm}"] <= ests[qpm] <= ex[f"hi_{qpm}"])
+        rows.append((qpm, float(ex[f"mid_{qpm}"]), in_bound))
+    return spark.createDataFrame(
+        rows, "q_permille bigint, exact_q double, est_in_bound boolean"
+    ).orderBy("q_permille")
+
+
 def q_fd_gram_by_label(spark, sf_dir):
     """Grouped Frequent Directions: one Gram sketch per label via the
     two-phase grouped pipeline, reduced to the trace (= sum of squared
@@ -1543,6 +1588,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_pq": q_embedding_topk_pq,
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "fd_gram_by_label": q_fd_gram_by_label,
+    "tdigest_weighted_price_quantiles": q_tdigest_weighted_price_quantiles,
     "cbf_deleted_membership": q_cbf_deleted_membership,
     "bloom_custkey_members": q_bloom_custkey_members,
     "bloom_orders_covered": q_bloom_orders_covered,
@@ -1832,6 +1878,20 @@ FROM rerank
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "tdigest_weighted_price_quantiles": """
+WITH cum AS (
+  SELECT l_extendedprice AS p,
+         sum(l_quantity) OVER (ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+), tot AS (SELECT sum(l_quantity) AS w FROM lineitem)
+SELECT q.q_permille,
+       (SELECT min(p) FROM cum, tot
+        WHERE cw >= (q.q_permille / 1000.0) * tot.w) AS exact_q,
+       TRUE AS est_in_bound
+FROM (VALUES (250), (500), (750)) q(q_permille)
+ORDER BY q.q_permille
 """,
     "fd_gram_by_label": """
 WITH v AS (

@@ -24,7 +24,8 @@ from .functions import (
     with_error_bounds,
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
-from .quantiles import approx_quantiles, kll_agg, tdigest_agg
+from .quantiles import (approx_quantiles, approx_quantiles_weighted,
+                        kll_agg, tdigest_agg)
 from .rollup import hll_rollup, merge_sketches, quantiles_rollup
 from .setops import (
     register_theta_sql_functions,
@@ -40,6 +41,7 @@ __all__ = [
     "approx_distinct_multi",
     "approx_distinct_verified",
     "approx_quantiles",
+    "approx_quantiles_weighted",
     "bloom_agg",
     "bloom_build",
     "cms_agg",

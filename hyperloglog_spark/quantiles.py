@@ -22,7 +22,9 @@ from .sketch import kll, tdigest
 __all__ = [
     "KllAggregator",
     "TDigestAggregator",
+    "WeightedTDigestAggregator",
     "approx_quantiles",
+    "approx_quantiles_weighted",
     "kll_agg",
     "tdigest_agg",
 ]
@@ -90,6 +92,67 @@ class TDigestAggregator(_QuantileAggregator):
         return tdigest.from_values(
             values, self.params.get("delta", tdigest.DEFAULT_DELTA)
         )
+
+
+class WeightedTDigestAggregator(_QuantileAggregator):
+    """t-digest over (value, weight) rows — quantiles of a deduplicated
+    corpus where each representative carries its copy count, or any other
+    importance weighting. Same codec, merge, and estimator as the plain
+    t-digest (the weight is native to the centroid state); only the build
+    feeds per-row masses instead of ones."""
+
+    name = "tdigest_weighted"
+    module = tdigest
+
+    def __init__(self, qs: list[float] | None = None,
+                 weight_col: str = "weight", **params):
+        super().__init__(qs, **params)
+        self.weight_col = weight_col
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        if len(cols) != 1:
+            raise ValueError("quantile sketches take exactly one column")
+        return [
+            F.col(cols[0]).cast("double"),
+            F.col(self.weight_col).cast("double"),
+        ]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        varr, warr = values.values()
+        vals = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ws = warr.to_numpy(zero_copy_only=False).astype(np.float64)
+        delta = self.params.get("delta", tdigest.DEFAULT_DELTA)
+        if n_groups == 1:
+            return [tdigest.from_weighted(vals, ws, delta)]
+        order = np.argsort(codes, kind="stable")
+        sc, sv, sw = codes[order], vals[order], ws[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [
+            tdigest.from_weighted(
+                sv[bounds[g]: bounds[g + 1]], sw[bounds[g]: bounds[g + 1]],
+                delta,
+            )
+            for g in range(n_groups)
+        ]
+
+
+def approx_quantiles_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    qs: list[float],
+    group_by: str | list[str] | None = None,
+    **params,
+) -> DataFrame:
+    """Weighted approximate quantiles (t-digest): each row contributes
+    ``weight_col`` units of mass. The curation-pipeline form: quantiles of
+    the ORIGINAL corpus computed from the deduplicated representatives and
+    their n_copies — without re-exploding the duplicates."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = WeightedTDigestAggregator(qs, weight_col=weight_col, **params)
+    return sketch_agg(
+        _drop_null_rows(df, [col, weight_col]), [col], agg, group_by
+    )
 
 
 def _make_agg(method: str, qs=None, **params) -> _QuantileAggregator:

@@ -137,6 +137,43 @@ def update(sketch: bytes, values: np.ndarray) -> bytes:
     )
 
 
+def update_weighted(
+    sketch: bytes, values: np.ndarray, weights: np.ndarray
+) -> bytes:
+    """Feed weighted observations — the dedup-aware form (value with its
+    multiplicity/copy-count) a curation pipeline needs when the corpus has
+    been collapsed to representatives. Rows with NaN values or
+    non-positive weights are dropped; ``n`` keeps counting ROWS consumed
+    (the mass lives in the centroid weights, which is all the estimator
+    reads)."""
+    delta, n, vmin, vmax, means, ws = _deserialize(sketch)
+    vals = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if len(vals) != len(w):
+        raise ValueError("values and weights must align")
+    mask = ~np.isnan(vals) & ~np.isnan(w) & (w > 0)
+    vals, w = vals[mask], w[mask]
+    if len(vals) == 0:
+        return bytes(sketch)
+    cm, cw = _compress(
+        np.concatenate([means, vals]), np.concatenate([ws, w]), delta
+    )
+    return _serialize(
+        delta,
+        n + len(vals),
+        min(vmin, float(vals.min())),
+        max(vmax, float(vals.max())),
+        cm,
+        cw,
+    )
+
+
+def from_weighted(
+    values: np.ndarray, weights: np.ndarray, delta: int = DEFAULT_DELTA
+) -> bytes:
+    return update_weighted(empty(delta), values, weights)
+
+
 def merge_many(sketches) -> bytes:
     """Multiset merge: order-independent by construction."""
     sketches = [s for s in sketches if s is not None]

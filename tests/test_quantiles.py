@@ -134,3 +134,74 @@ class TestQuantileSpark:
         vals = np.sort(np.array(
             [r[0] for r in lineitem.select("l_extendedprice").collect()]))
         assert abs(_rank_of(vals, a) - _rank_of(vals, b)) <= 0.03
+
+
+class TestWeightedTDigest:
+    def test_unit_weights_match_plain_build(self):
+        from hyperloglog_spark.sketch import tdigest
+
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(5000)
+        a = tdigest.from_values(vals)
+        b = tdigest.from_weighted(vals, np.ones(len(vals)))
+        assert a == b  # identical compress path, byte-identical
+
+    def test_weighted_equals_exploded_rows_rank(self):
+        """Integer weights == repeating the row that many times, up to
+        t-digest rank accuracy: exact weighted rank of each estimate must
+        sit within q +/- 2% (delta=100)."""
+        from hyperloglog_spark.sketch import tdigest
+
+        rng = np.random.default_rng(13)
+        vals = rng.standard_normal(2000)
+        w = rng.integers(1, 50, size=2000).astype(np.float64)
+        sk = tdigest.from_weighted(vals, w)
+        order = np.argsort(vals)
+        sv, sw = vals[order], w[order]
+        cum = np.cumsum(sw)
+        total = cum[-1]
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            est = float(tdigest.quantiles(sk, [q])[0])
+            # exact weighted rank of est
+            rank = cum[np.searchsorted(sv, est, side="right") - 1] / total \
+                if est >= sv[0] else 0.0
+            assert abs(rank - q) <= 0.02, (q, est, rank)
+
+    def test_zero_and_nan_weights_dropped(self):
+        from hyperloglog_spark.sketch import tdigest
+
+        sk = tdigest.from_weighted(
+            np.array([1.0, 2.0, np.nan, 4.0]),
+            np.array([1.0, 0.0, 3.0, np.nan]),
+        )
+        assert tdigest.n_items(sk) == 1
+        assert float(tdigest.quantiles(sk, [0.5])[0]) == 1.0
+
+    def test_spark_weighted_quantiles(self, spark):
+        from hyperloglog_spark import approx_quantiles_weighted
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        out = approx_quantiles_weighted(
+            li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75]
+        ).collect()[0]
+        rows = li.select("l_extendedprice", "l_quantity").collect()
+        vals = np.array([r[0] for r in rows], dtype=np.float64)
+        ws = np.array([float(r[1]) for r in rows])
+        order = np.argsort(vals)
+        sv, cum = vals[order], np.cumsum(ws[order])
+        total = cum[-1]
+        for q, name in ((0.25, "q25"), (0.5, "q5"), (0.75, "q75")):
+            est = out[name]
+            rank = cum[np.searchsorted(sv, est, side="right") - 1] / total
+            assert abs(rank - q) <= 0.02, (q, est, rank)
+
+    def test_grouped_weighted(self, spark):
+        from hyperloglog_spark import approx_quantiles_weighted
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        out = approx_quantiles_weighted(
+            li, "l_extendedprice", "l_quantity", [0.5],
+            group_by="l_returnflag",
+        ).collect()
+        assert len(out) == li.select("l_returnflag").distinct().count()
+        assert all(r["q5"] is not None for r in out)
