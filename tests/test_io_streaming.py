@@ -493,3 +493,39 @@ def test_streaming_countsketch_bytes_match_batch(spark, tmp_path):
         .first()["sketch"]
     )
     assert sk == want
+
+
+def test_streaming_fd_gram_matches_batch_exact_regime(spark, tmp_path):
+    """Frequent Directions streamed over micro-batches: FD bytes are merge-
+    order-dependent, but in the exact regime (rows <= 2*ell, zero shrink)
+    the Gram is the sum of row outer products — on an integer grid the
+    streamed Gram must equal the batch Gram exactly."""
+    import numpy as np
+    from hyperloglog_spark.linalg import FdAggregator, fd_build
+    from hyperloglog_spark.sketch import fd
+    from hyperloglog_spark.streaming import streaming_sketch_agg
+
+    rng = np.random.default_rng(23)
+    rows = [("g", [float(x) for x in np.floor(rng.standard_normal(8) * 50)])
+            for _ in range(100)]
+    batch = spark.createDataFrame(rows, ["g", "vec"])
+    src = str(tmp_path / "src-fd")
+    batch.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(
+        stream, "vec", FdAggregator(ell=128), "g", emit_sketch=True
+    )
+    (out.writeStream.format("memory").queryName("q_fd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-fd"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_fd").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+
+    want = fd_build(batch.select("vec"), "vec", ell=128)
+    assert np.array_equal(fd.gram(sk), fd.gram(want))
+    _, _, _, delta, fro2 = fd.params(sk)
+    assert delta == 0.0
+    assert fro2 == fd.params(want)[4]
