@@ -161,3 +161,75 @@ def test_fold_equals_direct_build_property(vals, p_hi, d):
     hi = hll.from_hashes(vals, p_hi) if len(vals) else hll.empty(p_hi)
     direct = hll.from_hashes(vals, p_lo) if len(vals) else hll.empty(p_lo)
     assert hll.fold(hi, p_lo) == direct
+
+
+# --------------------------------------------- round-3 kernels (cbf/cs/fd)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=u64_arrays, dels=st.integers(min_value=0, max_value=300),
+       splits=st.integers(min_value=1, max_value=5))
+def test_cbf_group_laws_any_split(vals, dels, splits):
+    """Counting bloom: any partitioning of (inserts ++ deletes) merges to
+    the same bytes, and deleting a subset never produces false negatives
+    on the rest."""
+    from hyperloglog_spark.sketch import cbf
+
+    dels = min(dels, len(vals))
+    h = np.concatenate([vals, vals[:dels]])
+    d = np.concatenate([np.ones(len(vals), dtype=np.int64),
+                        -np.ones(dels, dtype=np.int64)])
+    direct = cbf.from_hashes(h, d, log2_m=8, k=3)
+    idx = np.arange(len(h))
+    parts = np.array_split(idx, splits)
+    merged = cbf.merge_many([
+        cbf.from_hashes(h[p], d[p], log2_m=8, k=3) for p in parts
+    ])
+    assert merged == direct
+    kept = vals[dels:]
+    if len(kept):
+        assert cbf.might_contain(direct, kept).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=u64_arrays, splits=st.integers(min_value=1, max_value=5))
+def test_countsketch_merge_is_counter_sum(vals, splits):
+    from hyperloglog_spark.sketch import countsketch as cs
+
+    direct = cs.from_hashes(vals, d=3, log2_w=6)
+    parts = np.array_split(np.arange(len(vals)), splits)
+    merged = cs.merge_many([
+        cs.from_hashes(vals[p], d=3, log2_w=6) for p in parts
+    ])
+    assert merged == direct
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    dim=st.sampled_from([4, 8]),
+    ell=st.sampled_from([4, 8, 64]),
+    splits=st.integers(min_value=1, max_value=4),
+)
+def test_fd_certificate_any_split(n, dim, ell, splits):
+    """FD: under ANY partitioning + merge order, the PSD sandwich
+    0 <= A'A - B'B <= delta_sum*I holds, and in the exact regime
+    (n <= 2*ell) the Gram is bit-exact on an integer grid."""
+    from hyperloglog_spark.sketch import fd
+
+    rng = np.random.default_rng(n * 7 + dim + ell + splits)
+    mat = np.floor(rng.standard_normal((n, dim)) * 40)
+    parts = np.array_split(np.arange(n), splits)
+    sketches = [fd.append(fd.empty(ell), mat[p]) for p in parts]
+    merged = fd.merge_many(sketches)
+    _, _, nrows, delta, fro2 = fd.params(merged)
+    if n == 0:
+        assert nrows == 0 and delta == 0.0 and fro2 == 0.0
+        return
+    err = mat.T @ mat - fd.gram(merged)
+    ev = np.linalg.eigvalsh(err)
+    assert ev.min() >= -1e-6
+    assert ev.max() <= delta + 1e-6
+    if n <= 2 * ell:
+        assert delta == 0.0
+        assert np.array_equal(fd.gram(merged), mat.T @ mat)
