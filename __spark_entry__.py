@@ -241,6 +241,21 @@ def q_cms_top5_partkeys(spark, sf_dir):
     return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5)
 
 
+def q_cms_top_ngrams_documents(spark, sf_dir):
+    """Corpus-wide heavy-hitter word 3-grams: per-doc n-gram arrays built
+    in codegen, exploded inline (pipelined, no shuffle), then the CMS+MG
+    two-phase top-k — only sketch/candidate rows reach the Exchange, never
+    the gram stream. The boilerplate detector a corpus audit runs."""
+    from hyperloglog_spark import cms_topk
+    from hyperloglog_spark.pipeline.text import _ngram_array
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.split(F.lower(F.col("text")), " ").alias("__w")
+    ).select(F.explode(_ngram_array("__w", 3)).alias("gram"))
+    return cms_topk(grams, "gram", k=10)
+
+
 def q_countsketch_f2_event_types(spark, sf_dir):
     """Count sketch (signed, Charikar 2002) F2 second frequency moment =
     SELF-JOIN SIZE of events on event_type — the skew statistic a planner
@@ -1632,11 +1647,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_distinct_by_priority": q_theta_distinct_by_priority,
     "asof_join_purchase_view": q_asof_join_purchase_view,
     "ngram_contamination_documents": q_ngram_contamination_documents,
+    "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
     "countsketch_f2_event_types": q_countsketch_f2_event_types,
     "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
 }
 
 _ORACLES: dict[str, str] = {
+    "cms_top_ngrams_documents": """
+WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+)
+SELECT gram, count(*) AS approx_count FROM grams
+GROUP BY gram ORDER BY approx_count DESC, gram LIMIT 10
+""",
     "countsketch_f2_event_types": """
 WITH h AS (
   SELECT ('0x' || substr(md5(concat(CAST(event_type AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
