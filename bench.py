@@ -75,7 +75,8 @@ def main() -> None:
     )
     from hyperloglog_spark.membership import bloom_filtered_join
     from hyperloglog_spark.pipeline.similarity import (
-        fit_ivf_centroids_distributed, fit_pq_codebooks, pq_topk,
+        fit_ivf_centroids_distributed, fit_pq_codebooks, ivf_pq_topk,
+        pq_topk,
     )
     from hyperloglog_spark.setops import (
         theta_set_cardinalities, theta_sketch_agg,
@@ -154,6 +155,16 @@ def main() -> None:
             t(spark, "embeddings"),
             t(spark, "embeddings").filter(F.col("vec_id") < 32),
             "vec_id", "embedding", k=10,
+            codebooks=fit_pq_codebooks(
+                t(spark, "embeddings"), "vec_id", "embedding",
+                m=8, n_codes=16, iters=1,
+            ),
+        ),
+        # composed IVFADC: routed cells + byte codes + ADC + exact rerank
+        "embedding_topk_ivfpq": lambda: ivf_pq_topk(
+            t(spark, "embeddings"),
+            t(spark, "embeddings").filter(F.col("vec_id") < 32),
+            "vec_id", "embedding", k=10, n_cells=16, nprobe=4,
             codebooks=fit_pq_codebooks(
                 t(spark, "embeddings"), "vec_id", "embedding",
                 m=8, n_codes=16, iters=1,

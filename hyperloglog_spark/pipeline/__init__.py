@@ -28,6 +28,7 @@ from .similarity import (
     embedding_neardup_pairs,
     fit_ivf_centroids,
     fit_pq_codebooks,
+    ivf_pq_topk,
     ivf_topk,
     lsh_topk,
     pq_encode,
@@ -61,6 +62,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "fit_pq_codebooks",
+    "ivf_pq_topk",
     "pq_encode",
     "pq_topk",
     "fit_ivf_centroids",

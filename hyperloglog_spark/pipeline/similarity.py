@@ -1016,3 +1016,145 @@ def pq_topk(
         .select("query_id", "neighbor_id", vec_col, "__qv")
     )
     return _score_and_topk(cand, k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    seed: int = 311,
+    grid_bits: int | None = None,
+    hashing: str = "xxhash64",
+    exclude_self: bool = True,
+    max_queries: int = 4096,
+    refine: bool = True,
+    refine_k: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV): the composed big-ANN architecture —
+    a coarse quantizer routes every corpus row to one of ``n_cells``
+    inverted lists, PQ codes stand in for the vectors inside each list,
+    queries ADC-score only their ``nprobe`` nearest cells' members, and an
+    exact cosine re-rank of the broadcast shortlist fixes ADC's
+    quantization blur. One corpus pass computes cell + codes together;
+    the candidate set (and hence all post-scan work) shrinks by
+    ~``nprobe / n_cells`` relative to ``pq_topk``'s full scan, and only
+    per-query shortlist rows ever shuffle.
+
+    Defaults mirror ``ivf_topk`` (seeded random quantizer) and
+    ``fit_pq_codebooks``; pass trained ``centroids``/``codebooks`` for the
+    data-adapted form. ``grid_bits`` + md5 hashing makes both fits
+    SQL-replayable (the oracle mode).
+    """
+    dim = _infer_dim(queries, vec_col, dim=None)
+    if centroids is None:
+        centroids = random_ivf_centroids(dim, n_cells, seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(cents))
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=iters,
+            seed=seed, grid_bits=grid_bits, hashing=hashing,
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, d = cb.shape
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk collects the query set to build LUTs; got more "
+            f"than max_queries={max_queries} rows"
+        )
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
+    # probe cells per query: top-nprobe by dot, ties -> lower cell
+    qdots = q_mat @ cents.T
+    probe_cells = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+    # cell -> list of query indices probing it
+    cell_queries: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe_cells[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(_vec_matrix(batch.column(1)))
+            cell = np.argmax(mat @ cents.T, axis=1)
+            subs = mat.reshape(len(mat), m, d)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
+                codes[:, s] = np.argmin(dist, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c, qis in cell_queries.items():
+                members = np.flatnonzero(cell == c)
+                if not len(members):
+                    continue
+                mcodes = codes[members]
+                mids = ids[members]
+                for qi in qis:
+                    sc = np.zeros(len(members))
+                    for s in range(m):
+                        sc += lut[qi, s, mcodes[:, s]]
+                    pm = np.floor(sc * 1000.0).astype(np.int64)
+                    nids = mids
+                    if exclude_self:
+                        keep = nids != q_ids[qi]
+                        pm, nids = pm[keep], nids[keep]
+                    if not len(pm):
+                        continue
+                    take = min(shortlist_k, len(pm))
+                    part = np.argpartition(-pm, take - 1)[:take]
+                    order = part[np.lexsort((nids[part], -pm[part]))]
+                    out_q.append(np.full(len(order), q_ids[qi], np.int64))
+                    out_n.append(nids[order])
+                    out_s.append(pm[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), pa.int64()),
+                 pa.array(np.concatenate(out_n), pa.int64()),
+                 pa.array(np.concatenate(out_s), pa.int64())],
+                names=["query_id", "neighbor_id", "score_permille"],
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInArrow(
+        fn, "query_id bigint, neighbor_id bigint, score_permille bigint"
+    )
+    adc_topk = (
+        scored.groupBy("query_id")
+        .applyInPandas(_topk_merge(shortlist_k), _TOPK_SCHEMA)
+    )
+    if not refine:
+        return adc_topk.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in r[1]]) for i, r in zip(q_ids, q_rows)],
+        T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
+        ]),
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .join(F.broadcast(adc_topk.select("query_id", "neighbor_id")),
+              "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", vec_col, "__qv")
+    )
+    return _score_and_topk(cand, k)

@@ -1185,3 +1185,26 @@ def test_pq_self_score_near_unity(spark):
            for r in out if r["rank"] == 1}
     for qid, (nid, pm) in top.items():
         assert pm > 900  # tight clusters + trained codebooks reconstruct well
+
+
+def test_ivf_pq_topk_recall_on_clustered_vectors(spark):
+    """The composed IVFADC path: probes the right cells AND re-ranks
+    exactly — recall@1 vs brute force on planted clusters."""
+    from hyperloglog_spark.pipeline import brute_force_topk, ivf_pq_topk
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") < 20)
+    cents = fit_ivf_centroids_distributed(
+        df, "vec_id", "embedding", n_cells=16, iters=3)
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df, q, "vec_id", "embedding",
+                                    k=1).collect()}
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_pq_topk(df, q, "vec_id", "embedding", k=1,
+                                centroids=cents, nprobe=4,
+                                m=8, n_codes=16, iters=2).collect()}
+    hits = sum(bf[k] == got.get(k) for k in bf)
+    assert hits / len(bf) >= 0.9
