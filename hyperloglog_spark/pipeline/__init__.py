@@ -33,6 +33,7 @@ from .similarity import (
     lsh_topk,
     pq_encode,
     pq_topk,
+    pq_topk_from_codes,
 )
 from .sampling import (
     deterministic_sample,
@@ -65,6 +66,7 @@ __all__ = [
     "ivf_pq_topk",
     "pq_encode",
     "pq_topk",
+    "pq_topk_from_codes",
     "fit_ivf_centroids",
     "embedding_neardup_pairs",
     "curate_documents",

@@ -1158,3 +1158,112 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", vec_col, "__qv")
     )
     return _score_and_topk(cand, k)
+
+
+def pq_topk_from_codes(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    codebooks: np.ndarray,
+    k: int = 10,
+    codes_col: str = "codes",
+    query_vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+    vec_col: str | None = None,
+    exclude_self: bool = True,
+    max_queries: int = 4096,
+    refine_k: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a STORED PQ index — the serving pattern: encode the
+    corpus once with ``pq_encode`` (m bytes/row), persist, then answer
+    query batches from the codes alone without touching the vectors.
+    Given the same codebooks, results are identical to ``pq_topk(...,
+    refine=False)``; pass ``corpus``+``vec_col`` to also run the exact
+    re-rank (requires the original vectors, as in ``pq_topk``)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, d = cb.shape
+
+    q_rows = (
+        queries.select(id_col, query_vec_col)
+        .limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk_from_codes collects the query set; got more than "
+            f"max_queries={max_queries} rows"
+        )
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    if q_mat.shape[1] != m * d:
+        raise ValueError(
+            f"query dim {q_mat.shape[1]} != m*d = {m * d} of the codebooks"
+        )
+    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
+    nq = len(q_ids)
+    refine = corpus is not None
+    shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            carr = batch.column(1)
+            if isinstance(carr, pa.ChunkedArray):
+                carr = carr.combine_chunks()
+            flat = np.frombuffer(b"".join(carr.to_pylist()), dtype=np.uint8)
+            codes = flat.reshape(len(ids), m).astype(np.int64)
+            scores = np.zeros((len(ids), nq))
+            for s in range(m):
+                scores += lut[:, s, codes[:, s]].T
+            pm = np.floor(scores * 1000.0).astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                col, nids = pm[:, qi], ids
+                if exclude_self:
+                    keep = nids != q_ids[qi]
+                    col, nids = col[keep], nids[keep]
+                if not len(col):
+                    continue
+                take = min(shortlist_k, len(col))
+                part = np.argpartition(-col, take - 1)[:take]
+                order = part[np.lexsort((nids[part], -col[part]))]
+                out_q.append(np.full(len(order), q_ids[qi], np.int64))
+                out_n.append(nids[order])
+                out_s.append(col[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), pa.int64()),
+                 pa.array(np.concatenate(out_n), pa.int64()),
+                 pa.array(np.concatenate(out_s), pa.int64())],
+                names=["query_id", "neighbor_id", "score_permille"],
+            )
+
+    scored = codes_df.select(id_col, codes_col).mapInArrow(
+        fn, "query_id bigint, neighbor_id bigint, score_permille bigint"
+    )
+    adc_topk = (
+        scored.groupBy("query_id")
+        .applyInPandas(_topk_merge(shortlist_k), _TOPK_SCHEMA)
+    )
+    if not refine:
+        return adc_topk.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in r[1]]) for i, r in zip(q_ids, q_rows)],
+        T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
+        ]),
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .join(F.broadcast(adc_topk.select("query_id", "neighbor_id")),
+              "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", vec_col, "__qv")
+    )
+    return _score_and_topk(cand, k)

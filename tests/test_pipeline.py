@@ -1208,3 +1208,31 @@ def test_ivf_pq_topk_recall_on_clustered_vectors(spark):
                                 m=8, n_codes=16, iters=2).collect()}
     hits = sum(bf[k] == got.get(k) for k in bf)
     assert hits / len(bf) >= 0.9
+
+
+def test_pq_stored_index_matches_live_encode(spark):
+    """Serving pattern: pq_encode once -> search from the stored codes.
+    Given the same codebooks the stored-index ADC results equal the live
+    pq_topk(refine=False) results row for row, and the refined variant
+    equals pq_topk(refine=True)."""
+    from hyperloglog_spark.pipeline import (
+        fit_pq_codebooks, pq_encode, pq_topk, pq_topk_from_codes,
+    )
+
+    df = _clustered_vecs(spark, n=250)
+    q = df.filter(F.col("vec_id") < 10)
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=16,
+                          iters=2)
+    codes = pq_encode(df, "vec_id", "embedding", cb)
+
+    live = pq_topk(df, q, "vec_id", "embedding", k=5, codebooks=cb,
+                   refine=False).collect()
+    stored = pq_topk_from_codes(codes, q, "vec_id", cb, k=5).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, stored))
+
+    live_r = pq_topk(df, q, "vec_id", "embedding", k=5, codebooks=cb,
+                     refine=True).collect()
+    stored_r = pq_topk_from_codes(
+        codes, q, "vec_id", cb, k=5, corpus=df, vec_col="embedding"
+    ).collect()
+    assert sorted(map(tuple, live_r)) == sorted(map(tuple, stored_r))
