@@ -871,10 +871,16 @@ def pq_encode(
             for s in range(m):
                 dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
                 codes[:, s] = np.argmin(dist, axis=1)
+            # build the BinaryArray from raw buffers (no per-row Python
+            # bytes objects): uniform m-byte rows, offsets are arithmetic
+            offsets = (np.arange(len(mat) + 1, dtype=np.int32) * m)
+            codes_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), len(mat),
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(codes.tobytes(order="C"))],
+            )
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()),
-                 pa.array(list(codes.tobytes(order="C")[i * m:(i + 1) * m]
-                               for i in range(len(mat))), pa.binary())],
+                [pa.array(ids, pa.int64()), codes_arr],
                 names=[id_col, "codes"],
             )
 
@@ -1213,7 +1219,17 @@ def pq_topk_from_codes(
             carr = batch.column(1)
             if isinstance(carr, pa.ChunkedArray):
                 carr = carr.combine_chunks()
-            flat = np.frombuffer(b"".join(carr.to_pylist()), dtype=np.uint8)
+            # zero-copy: read the BinaryArray's offsets + data buffers
+            # directly (no per-row Python bytes objects in the scan)
+            offs = np.frombuffer(
+                carr.buffers()[1], dtype=np.int32
+            )[carr.offset: carr.offset + len(carr) + 1]
+            if np.any(np.diff(offs) != m):
+                raise ValueError(
+                    f"codes column rows must be exactly m={m} bytes"
+                )
+            data = np.frombuffer(carr.buffers()[2], dtype=np.uint8)
+            flat = data[offs[0]: offs[-1]]
             codes = flat.reshape(len(ids), m).astype(np.int64)
             scores = np.zeros((len(ids), nq))
             for s in range(m):
