@@ -1393,6 +1393,17 @@ def q_conversation_integrity_events(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_event_type_transitions(spark, sf_dir):
+    """Markov transition counts of event_type within each user's event
+    stream (ordered by event_id): one Window shuffle + a map-side-combined
+    groupBy over the tiny (from, to) key space. Exact SQL oracle."""
+    from hyperloglog_spark import transcripts as tq
+
+    return tq.transition_counts(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "event_type"
+    ).orderBy("from_state", "to_state")
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (transcripts.sessionize): per-user session
     boundaries at a 4-hour inactivity gap, rolled up to one row per user.
@@ -1650,6 +1661,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "conversation_integrity_events": q_conversation_integrity_events,
+    "event_type_transitions": q_event_type_transitions,
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
     "priority_sample_documents": q_priority_sample_documents,
@@ -2162,6 +2174,16 @@ FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
         "SELECT event_type, count(*) AS n_events, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type",
+    "event_type_transitions": """
+WITH o AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+)
+SELECT from_state, to_state, count(*) AS n_transitions
+FROM o GROUP BY from_state, to_state ORDER BY from_state, to_state
+""",
     "conversation_integrity_events": """
 WITH o AS (
   SELECT user_id, event_id, event_type, epoch(ts) AS e,

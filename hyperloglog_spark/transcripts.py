@@ -30,6 +30,7 @@ __all__ = [
     "conversation_membership",
     "ordering_invariant_violations",
     "conversation_integrity",
+    "transition_counts",
     "sessionize",
     "session_stats",
     "with_salted_key",
@@ -281,6 +282,31 @@ def conversation_integrity(
         (F.col("dup_turn_idx") == 0)
         & (F.col("missing_turn_idx") == 0)
         & (F.col("ts_inversions") == 0),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Markov transition counts of ``state_col`` (tool, role, event type)
+    within each conversation's turn order: one row per (from_state,
+    to_state) with its global count — the tool-usage fingerprint of an
+    agent corpus (which tool follows which, where conversations start).
+
+    The first turn of each conversation counts as a transition from NULL
+    (start-of-conversation). One Window shuffle (partitionBy conv, orderBy
+    idx) + a map-side-combined groupBy over the tiny (from, to) key space.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev = F.lag(F.col(state_col)).over(w)
+    return (
+        df.select(prev.alias("from_state"),
+                  F.col(state_col).alias("to_state"))
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
 
 

@@ -324,3 +324,15 @@ class TestConversationIntegrity:
         )._jdf.queryExecution().executedPlan().toString()
         # the groupBy(conv) must reuse the window's hash partitioning
         assert plan.count("Exchange") <= 1
+
+
+def test_transition_counts_hand_case(spark):
+    from hyperloglog_spark.transcripts import transition_counts
+
+    rows = [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"),
+            ("c2", 0, "a"), ("c2", 1, "a")]
+    df = spark.createDataFrame(rows, ["conv", "idx", "tool"])
+    got = {(r["from_state"], r["to_state"]): r["n_transitions"]
+           for r in transition_counts(df, "conv", "idx", "tool").collect()}
+    assert got == {(None, "a"): 2, ("a", "b"): 1, ("b", "a"): 1,
+                   ("a", "a"): 1}
