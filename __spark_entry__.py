@@ -1404,6 +1404,31 @@ def q_event_type_transitions(spark, sf_dir):
     ).orderBy("from_state", "to_state")
 
 
+def q_theta_pairwise_jaccard_priorities(spark, sf_dir):
+    """Stored-sketch set algebra as a MATRIX: per-priority theta sketches
+    of custkey sets built once, then every pairwise Jaccard answered from
+    the stored states through the SQL scalar surface (theta_jaccard) with
+    zero rescans of orders. Exact regime (distinct per group << k=4096),
+    so the oracle is plain exact SQL Jaccard."""
+    from hyperloglog_spark.setops import (
+        register_theta_sql_functions, theta_sketch_agg,
+    )
+
+    register_theta_sql_functions(spark)
+    theta_sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        group_by="o_orderpriority", k=4096,
+    ).createOrReplaceTempView("prio_sketches")
+    return spark.sql("""
+        SELECT a.o_orderpriority AS prio_a, b.o_orderpriority AS prio_b,
+               CAST(floor(1000.0 * theta_jaccard(a.sketch, b.sketch))
+                    AS BIGINT) AS jaccard_permille
+        FROM prio_sketches a JOIN prio_sketches b
+          ON a.o_orderpriority < b.o_orderpriority
+        ORDER BY prio_a, prio_b
+    """)
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (transcripts.sessionize): per-user session
     boundaries at a 4-hour inactivity gap, rolled up to one row per user.
@@ -1662,6 +1687,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "conversation_integrity_events": q_conversation_integrity_events,
     "event_type_transitions": q_event_type_transitions,
+    "theta_pairwise_jaccard_priorities": q_theta_pairwise_jaccard_priorities,
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
     "priority_sample_documents": q_priority_sample_documents,
@@ -2174,6 +2200,29 @@ FROM e GROUP BY window_start_epoch ORDER BY window_start_epoch
         "SELECT event_type, count(*) AS n_events, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type",
+    "theta_pairwise_jaccard_priorities": """
+WITH s AS (
+  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+), sizes AS (
+  SELECT p, count(*) AS n FROM s GROUP BY p
+), pairs AS (
+  SELECT a.p AS prio_a, b.p AS prio_b
+  FROM sizes a, sizes b WHERE a.p < b.p
+), inter AS (
+  SELECT x.p AS prio_a, y.p AS prio_b, count(*) AS i
+  FROM s x JOIN s y ON x.c = y.c AND x.p < y.p
+  GROUP BY x.p, y.p
+)
+SELECT pr.prio_a, pr.prio_b,
+       CAST(floor(1000.0 * (coalesce(i.i, 0) /
+            CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE))) AS BIGINT)
+         AS jaccard_permille
+FROM pairs pr
+JOIN sizes sa ON sa.p = pr.prio_a
+JOIN sizes sb ON sb.p = pr.prio_b
+LEFT JOIN inter i ON i.prio_a = pr.prio_a AND i.prio_b = pr.prio_b
+ORDER BY pr.prio_a, pr.prio_b
+""",
     "event_type_transitions": """
 WITH o AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
