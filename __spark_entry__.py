@@ -1393,6 +1393,19 @@ def q_conversation_integrity_events(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_conversation_fingerprints(spark, sf_dir):
+    """Whole-conversation fingerprints (events: user_id's event stream):
+    order-independent hash-sum combine, map-side partial agg — the
+    shuffle carries (conv, sum) rows, never texts. md5 mode replays the
+    40-bit-masked term sum bit-for-bit in SQL."""
+    from hyperloglog_spark import transcripts as tq
+
+    return tq.conversation_fingerprints(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "event_type",
+        hashing="md5",
+    ).orderBy("user_id")
+
+
 def q_event_type_transitions(spark, sf_dir):
     """Markov transition counts of event_type within each user's event
     stream (ordered by event_id): one Window shuffle + a map-side-combined
@@ -1687,6 +1700,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "conversation_integrity_events": q_conversation_integrity_events,
     "event_type_transitions": q_event_type_transitions,
+    "conversation_fingerprints": q_conversation_fingerprints,
     "theta_pairwise_jaccard_priorities": q_theta_pairwise_jaccard_priorities,
     "sessionize_events": q_sessionize_events,
     "session_window_events": q_session_window_events,
@@ -2222,6 +2236,18 @@ JOIN sizes sa ON sa.p = pr.prio_a
 JOIN sizes sb ON sb.p = pr.prio_b
 LEFT JOIN inter i ON i.prio_a = pr.prio_a AND i.prio_b = pr.prio_b
 ORDER BY pr.prio_a, pr.prio_b
+""",
+    "conversation_fingerprints": """
+WITH h AS (
+  SELECT user_id,
+         ('0x' || substr(md5(concat(
+            concat(CAST(event_id AS VARCHAR), chr(31), event_type),
+            '#', '0')), 1, 15))::BIGINT & 1099511627775 AS t
+  FROM events
+)
+SELECT user_id, CAST(sum(t) AS BIGINT) AS fingerprint,
+       count(*) AS n_turns
+FROM h GROUP BY user_id ORDER BY user_id
 """,
     "event_type_transitions": """
 WITH o AS (

@@ -31,6 +31,7 @@ __all__ = [
     "ordering_invariant_violations",
     "conversation_integrity",
     "transition_counts",
+    "conversation_fingerprints",
     "sessionize",
     "session_stats",
     "with_salted_key",
@@ -307,6 +308,53 @@ def transition_counts(
                   F.col(state_col).alias("to_state"))
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def conversation_fingerprints(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    text_col: str,
+    hashing: str = "xxhash64",
+) -> DataFrame:
+    """One fingerprint per CONVERSATION (not per turn): two conversations
+    collide iff they contain the same multiset of (turn_idx, text) pairs —
+    i.e. identical transcripts under the per-row invariant's stable
+    ordering. The combine is a SUM of per-turn 64-bit hashes, which is
+    commutative/associative, so Catalyst's map-side partial aggregation
+    applies and the shuffle carries one (conv, partial-sum) row per
+    partition — the turn texts never move. Returns (conv, fingerprint,
+    n_turns).
+
+    Hash-sum fingerprints are statistically collision-safe (~n^2/2^64
+    birthday risk over random 64-bit terms) but not adversarial — a
+    deliberate forger can balance sums; for adversarial settings compare
+    full transcripts within fingerprint groups afterwards. md5 mode makes
+    the fingerprint bit-reproducible in ANSI SQL (top-60-bit md5 terms,
+    BIGINT wraparound sum).
+    """
+    from .frequency import _hash_expr
+
+    pair = F.concat_ws(
+        "\x1f", F.col(idx_col).cast("string"), F.col(text_col)
+    )
+    df2 = df.select(F.col(conv_col), pair.alias("__pair"))
+    if hashing == "md5":
+        term = _hash_expr(["__pair"], "md5")
+    else:
+        term = F.xxhash64("__pair")
+    # mask terms to 40 bits: ANSI-mode F.sum must not overflow int64 —
+    # safe up to 2^23 turns per conversation, and the sum itself keeps
+    # ~63 bits of fingerprint entropy
+    term = term.bitwiseAND(F.lit((1 << 40) - 1))
+    return (
+        df2.select(conv_col, term.alias("__h"))
+        .groupBy(conv_col)
+        .agg(
+            F.sum("__h").alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
     )
 
 

@@ -336,3 +336,22 @@ def test_transition_counts_hand_case(spark):
            for r in transition_counts(df, "conv", "idx", "tool").collect()}
     assert got == {(None, "a"): 2, ("a", "b"): 1, ("b", "a"): 1,
                    ("a", "a"): 1}
+
+
+def test_conversation_fingerprints_order_and_partition_invariant(spark):
+    from hyperloglog_spark.transcripts import conversation_fingerprints
+
+    rows = [("c1", 0, "hello"), ("c1", 1, "world"),
+            ("c2", 0, "hello"), ("c2", 1, "world"),
+            ("c3", 1, "world"), ("c3", 0, "hello"),   # same multiset as c1
+            ("c4", 0, "world"), ("c4", 1, "hello")]   # different pairing
+    df = spark.createDataFrame(rows, ["conv", "idx", "text"])
+    got = {r["conv"]: r["fingerprint"]
+           for r in conversation_fingerprints(
+               df, "conv", "idx", "text").collect()}
+    assert got["c1"] == got["c2"] == got["c3"]  # multiset equality
+    assert got["c4"] != got["c1"]               # (idx, text) pairing matters
+    again = {r["conv"]: r["fingerprint"]
+             for r in conversation_fingerprints(
+                 df.repartition(7), "conv", "idx", "text").collect()}
+    assert got == again
