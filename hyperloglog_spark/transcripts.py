@@ -327,8 +327,11 @@ def conversation_fingerprints(
     partition — the turn texts never move. Returns (conv, fingerprint,
     n_turns).
 
-    Hash-sum fingerprints are statistically collision-safe (~n^2/2^64
-    birthday risk over random 64-bit terms) but not adversarial — a
+    Hash-sum fingerprints are statistically collision-safe (terms are
+    masked to 40 bits for ANSI-safe summation, but the SUM of many such
+    terms spreads over ~2^50+ states for realistic conversation lengths;
+    pair with ``n_turns`` for an extra discriminator) but not
+    adversarial — a
     deliberate forger can balance sums; for adversarial settings compare
     full transcripts within fingerprint groups afterwards. md5 mode makes
     the fingerprint bit-reproducible in ANSI SQL (top-60-bit md5 terms,
