@@ -1236,3 +1236,51 @@ def test_pq_stored_index_matches_live_encode(spark):
         codes, q, "vec_id", cb, k=5, corpus=df, vec_col="embedding"
     ).collect()
     assert sorted(map(tuple, live_r)) == sorted(map(tuple, stored_r))
+
+
+def test_curate_oracle_parity_on_randomized_corpus(spark):
+    """Re-bind the driver's full-composition curate oracle to a RANDOMIZED
+    corpus with edge cases (single tokens, exact duplicates, repeated
+    phrases, unicode, punctuation walls) — the md5 mirror must stay
+    hash-exact on inputs the fixed sf0.01 corpus never exercises."""
+    import __spark_entry__ as entrymod
+
+    rng = np.random.default_rng(41)
+    vocab = ["the", "cat", "sat", "on", "mat", "data", "spark", "row",
+             "x", "é", "42", "a"]
+    rows = []
+    for i in range(80):
+        n = int(rng.integers(1, 25))
+        toks = list(rng.choice(vocab, size=n))
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.3:
+            rows.append((1000 + i, " ".join(toks)))      # exact duplicate
+        if rng.random() < 0.2:
+            rows.append((2000 + i, " ".join(toks[:3] * 10)))  # repetitive
+    rows.append((9000, "hello"))
+    rows.append((9001, "¿qué? ¡sí! ... ---"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from hyperloglog_spark.pipeline import curate_documents
+
+    got = curate_documents(
+        df, "text", "doc_id",
+        benchmark=df.filter(F.col("doc_id") % 50 == 0),
+        langs=("en",), min_quality=300, sample_permille=900,
+        hashing="md5",
+    ).select(
+        "doc_id", "lang_pred", "score", "repetitive", "is_canonical",
+        "contaminated", "sampled", "lang_ok", "quality_ok", "keep",
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = con.sql(entrymod.oracle_sql()["curate_documents"])
+    want = {r[0]: tuple(r[1:]) for r in duck.fetchall()}
+    gotmap = {r["doc_id"]: (r["lang_pred"], r["score"], r["repetitive"],
+                            r["is_canonical"], r["contaminated"],
+                            r["sampled"], r["lang_ok"], r["quality_ok"],
+                            r["keep"])
+              for r in got}
+    assert gotmap == want
