@@ -914,6 +914,57 @@ def q_streaming_distinct_event_users(spark, sf_dir):
     )
 
 
+def q_streaming_cms_event_type_counts(spark, sf_dir):
+    """Structured Streaming count-min in the driver gate: events replayed
+    as a bounded file stream, per-trigger CMS sketch emission
+    (emit_sketch=True), final state point-queried for each event type.
+    Counter addition is exact and associative, and the value space (5
+    types) is far below the sketch width, so counts are exact and the
+    oracle is plain GROUP BY."""
+    import os
+    import shutil
+    import tempfile
+
+    from hyperloglog_spark.frequency import cms_point_query_udf
+    from hyperloglog_spark.streaming import streaming_cms_sketches
+
+    static = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="cms_gate_stream_src_")
+    src = f"{sf_dir}/events.parquet"
+    try:
+        os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    except OSError:                              # pragma: no cover
+        shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    out = streaming_cms_sketches(
+        stream.withColumn("__g", F.lit("all")), "event_type", "__g"
+    )
+    out_dir = tempfile.mkdtemp(prefix="cms_gate_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cms_gate_stream_ckpt_")
+
+    def write_batch(bdf, bid: int) -> None:
+        (bdf.withColumn("__bid", F.lit(bid))
+         .write.mode("append").parquet(out_dir))
+
+    (out.writeStream.foreachBatch(write_batch)
+     .outputMode("update")
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+    final = (
+        spark.read.parquet(out_dir)
+        .orderBy(F.desc("__bid")).limit(1).collect()[0]
+    )
+    probe = cms_point_query_udf(bytes(final["sketch"]))
+    return (
+        static.select("event_type").distinct()
+        .withColumn("n_events", probe(F.xxhash64("event_type")))
+        .orderBy("event_type")
+    )
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic bottom-k-by-hash sample (the mergeable min-k form of
     uniform sampling: partitioning-invariant, union = re-take-k). md5 keys
@@ -1718,6 +1769,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
     "streaming_distinct_event_users": q_streaming_distinct_event_users,
+    "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "sample_documents": q_sample_documents,
     "sample_stratified_by_lang": q_sample_stratified_by_lang,
@@ -1892,6 +1944,10 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
     "embedding_topk_lsh": _lsh_oracle_sql(),
     "embedding_topk_ivf": _ivf_oracle_sql(),
     "embedding_topk_ivf_trained": _ivf_trained_oracle_sql(),
+    "streaming_cms_event_type_counts": """
+SELECT event_type, count(*) AS n_events FROM events
+GROUP BY event_type ORDER BY event_type
+""",
     "streaming_distinct_event_users":
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
         "GROUP BY event_type ORDER BY event_type",
