@@ -231,3 +231,26 @@ def test_pq_topk_corpus_never_shuffles(spark):
     # broadcast exchanges; none may partition by the corpus vector column
     assert "hashpartitioning(vec_id" not in plan
     assert "hashpartitioning(embedding" not in plan
+
+
+def test_transition_counts_shuffle_budget(events):
+    from hyperloglog_spark.transcripts import transition_counts
+
+    q = transition_counts(events, "user_id", "event_id", "event_type")
+    assert_pruned_scan(q, {"user_id", "event_id", "event_type"})
+    # window shuffle on the conv key + the (from, to) groupBy (map-side
+    # combined over the tiny key space)
+    assert_max_exchanges(q, 2)
+
+
+def test_conversation_fingerprints_single_exchange_no_payload(events):
+    from hyperloglog_spark.transcripts import conversation_fingerprints
+
+    q = conversation_fingerprints(events, "user_id", "event_id",
+                                  "event_type")
+    # ONE Exchange, carrying (conv, partial-sum) rows: map-side partial
+    # aggregation must appear below it
+    assert_max_exchanges(q, 1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial sum" in plan.lower() \
+        or plan.count("HashAggregate") >= 2
