@@ -241,6 +241,29 @@ def q_cms_top5_partkeys(spark, sf_dir):
     return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5)
 
 
+def q_cms_weighted_qty_by_partkey(spark, sf_dir):
+    """Weighted CMS = approximate SUM-by-key (total quantity per partkey)
+    over key spaces too big to group exactly: each row adds l_quantity
+    instead of 1, same two-phase shape. ALGORITHM-MIRROR oracle: md5 mode
+    replays the weighted counter table and min-over-rows point estimates
+    bit-for-bit in SQL — exactness of the estimates is not assumed."""
+    from hyperloglog_spark.frequency import (
+        _hash_expr, cms_agg, cms_point_query_udf,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = bytes(cms_agg(
+        li, "l_partkey", weight_col="l_quantity", hashing="md5"
+    ).collect()[0]["sketch"])
+    probe = cms_point_query_udf(sk)
+    return (
+        li.select("l_partkey").distinct()
+        .withColumn("qty_total", probe(_hash_expr(["l_partkey"], "md5")))
+        .orderBy(F.desc("qty_total"), "l_partkey")
+        .limit(5)
+    )
+
+
 def q_cms_top_ngrams_documents(spark, sf_dir):
     """Corpus-wide heavy-hitter word 3-grams: per-doc n-gram arrays built
     in codegen, exploded inline (pipelined, no shuffle), then the CMS+MG
@@ -1785,11 +1808,31 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_purchase_view": q_asof_join_purchase_view,
     "ngram_contamination_documents": q_ngram_contamination_documents,
     "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
+    "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
     "countsketch_f2_event_types": q_countsketch_f2_event_types,
     "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
 }
 
 _ORACLES: dict[str, str] = {
+    "cms_weighted_qty_by_partkey": """
+WITH h AS (
+  SELECT l_partkey,
+         ('0x' || substr(md5(concat(CAST(l_partkey AS VARCHAR), '#', '0')), 1, 15))::BIGINT AS hv,
+         sum(l_quantity) AS wsum
+  FROM lineitem GROUP BY l_partkey
+), counters AS (
+  SELECT t.j, (hv + t.j * ((hv >> 32) | 1)) & 32767 AS pos, sum(wsum) AS c
+  FROM h, range(4) t(j) GROUP BY 1, 2
+), est AS (
+  SELECT h.l_partkey, CAST(min(c.c) AS BIGINT) AS qty_total
+  FROM h CROSS JOIN range(4) t(j)
+  JOIN counters c
+    ON c.j = t.j AND c.pos = ((h.hv + t.j * ((h.hv >> 32) | 1)) & 32767)
+  GROUP BY h.l_partkey
+)
+SELECT l_partkey, qty_total FROM est
+ORDER BY qty_total DESC, l_partkey LIMIT 5
+""",
     "cms_top_ngrams_documents": """
 WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
 grams AS (

@@ -66,28 +66,55 @@ def _hash_expr(cols: list[str], hashing: str) -> F.Column:
 
 
 class CmsAggregator(SketchAggregator):
+    """Count-min over hashed keys. ``weight_col`` turns it into an
+    approximate SUM-by-key: each row adds its (non-negative integer)
+    weight instead of 1 — totals per key (bytes per domain, tokens per
+    source, quantity per part) over key spaces too large to group
+    exactly, same epsilon*N overestimate guarantee with N = total mass."""
+
     name = "cms"
 
     def __init__(self, d: int = cms.DEFAULT_D, log2_w: int = cms.DEFAULT_LOG2_W,
-                 hashing: str = "xxhash64"):
+                 hashing: str = "xxhash64", weight_col: str | None = None):
         cms.empty(d, log2_w)  # validate eagerly
         self.d, self.log2_w, self.hashing = d, log2_w, hashing
+        self.weight_col = weight_col
         self.finalize_fields = [T.StructField("n_total", T.LongType(), False)]
 
     def prepare_columns(self, df: DataFrame, cols: list[str]):
-        return [_hash_expr(cols, self.hashing)]
+        prepared = [_hash_expr(cols, self.hashing)]
+        if self.weight_col is not None:
+            prepared.append(F.col(self.weight_col).cast("long"))
+        return prepared
 
     def build_grouped(self, codes, values, n_groups) -> list[bytes]:
-        (arr,) = values.values()
-        hashes = _to_numpy_u64(arr)
+        if self.weight_col is None:
+            (arr,) = values.values()
+            hashes = _to_numpy_u64(arr)
+            weights = None
+        else:
+            arr, warr = values.values()
+            hashes = _to_numpy_u64(arr)
+            weights = np.asarray(warr, dtype=np.int64)
+            if len(weights) and int(weights.min()) < 0:
+                raise ValueError(
+                    "cms weights must be non-negative (counters are "
+                    "unsigned; for signed updates use the count sketch)"
+                )
         if n_groups == 1:
-            return [cms.from_hashes(hashes, d=self.d, log2_w=self.log2_w)]
+            return [cms.from_hashes(hashes, counts=weights, d=self.d,
+                                    log2_w=self.log2_w)]
         order = np.argsort(codes, kind="stable")
         sc, sh = codes[order], hashes[order]
+        sw = weights[order] if weights is not None else None
         bounds = np.searchsorted(sc, np.arange(n_groups + 1))
         return [
-            cms.from_hashes(sh[bounds[g]: bounds[g + 1]], d=self.d,
-                            log2_w=self.log2_w)
+            cms.from_hashes(
+                sh[bounds[g]: bounds[g + 1]],
+                counts=(sw[bounds[g]: bounds[g + 1]]
+                        if sw is not None else None),
+                d=self.d, log2_w=self.log2_w,
+            )
             for g in range(n_groups)
         ]
 
@@ -106,11 +133,13 @@ def cms_agg(
     d: int = cms.DEFAULT_D,
     log2_w: int = cms.DEFAULT_LOG2_W,
     hashing: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Per-group CMS sketches as a BinaryType column."""
+    """Per-group CMS sketches as a BinaryType column. ``weight_col`` makes
+    each row add its weight instead of 1 (approximate SUM-by-key)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    agg = CmsAggregator(d, log2_w, hashing)
+    agg = CmsAggregator(d, log2_w, hashing, weight_col=weight_col)
     return sketch_agg(_drop_null_rows(df, cols), cols, agg, group_by, finalize=False)
 
 

@@ -250,3 +250,41 @@ def test_cms_topk_bounded_store_high_cardinality(spark):
     top = cms_topk(df, "v", k=1, candidates_per_partition=32).collect()
     assert top[0]["v"] == 7
     assert top[0]["approx_count"] >= 9_000
+
+
+class TestWeightedCms:
+    def test_weighted_equals_exploded_rows(self, spark):
+        """Integer weights == repeating rows: byte-identical sketches."""
+        from hyperloglog_spark.frequency import cms_agg
+
+        rows = [(f"k{i % 7}", (i % 3) + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, ["key", "w"])
+        weighted = bytes(cms_agg(df, "key", weight_col="w",
+                                 d=3, log2_w=8).collect()[0]["sketch"])
+        exploded = df.selectExpr("key", "explode(sequence(1, w)) AS i")
+        plain = bytes(cms_agg(exploded, "key",
+                              d=3, log2_w=8).collect()[0]["sketch"])
+        assert weighted == plain
+
+    def test_negative_weight_rejected(self, spark):
+        from hyperloglog_spark.frequency import cms_agg
+
+        df = spark.createDataFrame([("a", -1)], ["key", "w"])
+        with pytest.raises(Exception, match="non-negative"):
+            cms_agg(df, "key", weight_col="w").collect()
+
+    def test_point_query_sums_weights(self, spark):
+        import numpy as np
+        from hyperloglog_spark.frequency import cms_agg
+        from hyperloglog_spark.sketch import cms as cms_kernel
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("x", 10), ("x", 5), ("y", 7)], ["key", "w"])
+        sk = bytes(cms_agg(df, "key", weight_col="w").collect()[0]["sketch"])
+        hx = df.sparkSession.sql(
+            "SELECT xxhash64('x') AS h, xxhash64('y') AS h2").collect()[0]
+        got = cms_kernel.point_query(
+            sk, np.array([hx["h"], hx["h2"]], dtype=np.int64).view(np.uint64))
+        assert list(got) == [15, 7]
+        assert cms_kernel.params(sk)[2] == 22  # n_total = total mass
