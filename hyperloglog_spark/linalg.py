@@ -26,7 +26,8 @@ from pyspark.sql import types as T
 from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
 from .sketch import fd
 
-__all__ = ["FdAggregator", "fd_build", "fd_agg", "fd_gram_long"]
+__all__ = ["FdAggregator", "fd_build", "fd_agg", "fd_gram_long",
+           "principal_components"]
 
 
 def _to_matrix(arr) -> np.ndarray:
@@ -124,3 +125,21 @@ def fd_gram_long(
         T.StructField("gram", T.DoubleType(), False),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def principal_components(
+    sketch: bytes, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top principal directions of the sketched corpus: eigendecomposition
+    of the d x d Gram estimate B^T B — (eigenvalues desc, components as
+    rows). The FD certificate transfers: each estimated eigenvalue is
+    within delta_sum of the true Gram eigenvalue (Weyl's inequality on the
+    PSD error), so a merged sketch ships provably-bounded spectra for PCA
+    whitening, LSH/IVF plane seeding, or rank diagnostics — from a d x d
+    matrix instead of 10^12 rows."""
+    g = fd.gram(sketch)
+    if g.size == 0:
+        raise ValueError("empty sketch has no spectrum (dim unknown)")
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:n_components]
+    return vals[order], vecs[:, order].T

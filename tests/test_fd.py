@@ -116,3 +116,28 @@ def test_fd_gram_long_shape(spark):
     assert {(r["i"], r["j"]) for r in out} == {
         (i, j) for i in range(4) for j in range(i, 4)
     }
+
+
+def test_principal_components_exact_regime_and_certificate(spark):
+    from hyperloglog_spark.linalg import fd_build, principal_components
+
+    emb = spark.read.parquet(EMB).filter(F.col("vec_id") < 100)
+    sk = fd_build(emb.select("embedding"), "embedding", ell=128)
+    vals, comps = principal_components(sk, 5)
+    mat = np.array([r["embedding"] for r in emb.select("embedding").collect()],
+                   dtype=np.float64)
+    true_vals = np.sort(np.linalg.eigvalsh(mat.T @ mat))[::-1][:5]
+    # exact regime: spectrum matches numpy exactly (same Gram matrix)
+    assert np.allclose(vals, true_vals, rtol=1e-10)
+    assert comps.shape == (5, 64)
+    # shrunk sketch: Weyl bound |lam_est - lam_true| <= delta_sum
+    sk2 = fd_build(spark.read.parquet(EMB).select("embedding"),
+                   "embedding", ell=16)
+    from hyperloglog_spark.sketch import fd as fdk
+    _, _, _, delta, _ = fdk.params(sk2)
+    v2, _ = principal_components(sk2, 3)
+    full = np.array([r["embedding"] for r in
+                     spark.read.parquet(EMB).select("embedding").collect()],
+                    dtype=np.float64)
+    tv = np.sort(np.linalg.eigvalsh(full.T @ full))[::-1][:3]
+    assert np.all(np.abs(v2 - tv) <= delta + 1e-6)

@@ -529,3 +529,31 @@ def test_streaming_fd_gram_matches_batch_exact_regime(spark, tmp_path):
     _, _, _, delta, fro2 = fd.params(sk)
     assert delta == 0.0
     assert fro2 == fd.params(want)[4]
+
+
+def test_streaming_weighted_cms_bytes_match_batch(spark, tmp_path):
+    """Weighted CMS through the generic streaming skeleton: the weight
+    column rides prepare_columns unchanged, and counter addition keeps
+    streamed == batch byte-identical."""
+    from hyperloglog_spark.frequency import CmsAggregator
+    from hyperloglog_spark.engine.aggregate import sketch_agg
+    from hyperloglog_spark.streaming import streaming_sketch_agg
+
+    rows = [("shard", f"k{i % 9}", (i % 4) + 1) for i in range(800)]
+    batch = spark.createDataFrame(rows, ["g", "key", "w"])
+    src = str(tmp_path / "src-wcms")
+    batch.repartition(3).write.parquet(src)
+
+    agg = CmsAggregator(d=3, log2_w=9, weight_col="w")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(stream, "key", agg, "g", emit_sketch=True)
+    (out.writeStream.format("memory").queryName("q_wcms")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-wcms"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_wcms").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+    want = bytes(sketch_agg(batch, ["key"], agg, ["g"],
+                            finalize=False).first()["sketch"])
+    assert sk == want
