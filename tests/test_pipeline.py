@@ -1284,3 +1284,31 @@ def test_curate_oracle_parity_on_randomized_corpus(spark):
                             r["keep"])
               for r in got}
     assert gotmap == want
+
+
+def test_repetition_oracle_parity_on_randomized_corpus(spark):
+    """Re-bind the driver's repetition oracle to randomized docs with
+    single tokens, long repeats, and unicode — hash-exact everywhere."""
+    import __spark_entry__ as entrymod
+    from hyperloglog_spark.pipeline import repetition_stats
+
+    rng = np.random.default_rng(59)
+    vocab = ["a", "b", "cc", "ddd", "é", "42", "x y"]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))
+        toks = list(rng.choice(vocab, size=n))
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.25:
+            rows.append((500 + i, " ".join(toks[:2] * 15)))
+    rows.append((900, "solo"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:]
+           for r in repetition_stats(df, "text", "doc_id").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = con.sql(entrymod.oracle_sql()["text_repetition_stats"])
+    want = {r[0]: tuple(r[1:]) for r in duck.fetchall()}
+    assert got == want
