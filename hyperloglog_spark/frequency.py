@@ -164,6 +164,7 @@ def cms_topk(
     d: int = cms.DEFAULT_D,
     log2_w: int = cms.DEFAULT_LOG2_W,
     candidates_per_partition: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k heavy hitters of ``col``.
 
@@ -176,6 +177,11 @@ def cms_topk(
     C = max(8 * candidates_per_partition, 256): bounded memory at ANY value
     cardinality, and every key with partition count > N_p/(C+1) is
     guaranteed to survive (see module docstring).
+
+    ``weight_col`` ranks by TOTAL MASS instead of row count (top keys by
+    bytes/tokens/quantity): each row contributes its non-negative integer
+    weight to both the CMS counters and the Misra-Gries summary — the MG
+    bound holds verbatim with N_p = the partition's total mass.
     """
     if candidates_per_partition is None:
         candidates_per_partition = max(4 * k, 64)
@@ -183,7 +189,10 @@ def cms_topk(
     src = _drop_null_rows(df, [col])
     col_field = next(f for f in src.schema.fields if f.name == col)
 
-    proj = src.select(F.col(col).alias("v"), F.xxhash64(col).alias("h"))
+    wcol = (F.col(weight_col).cast("long") if weight_col is not None
+            else F.lit(1).cast("long"))
+    proj = src.select(F.col(col).alias("v"), F.xxhash64(col).alias("h"),
+                      wcol.alias("w"))
     part_schema = T.StructType([
         T.StructField("sketch", T.BinaryType(), False),
         T.StructField("cand_v", T.ArrayType(col_field.dataType), False),
@@ -224,14 +233,18 @@ def cms_topk(
             if batch.num_rows == 0:
                 continue
             h = _to_numpy_u64(batch.column(1))
-            part = cms.from_hashes(h, d=d, log2_w=log2_w)
+            w = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(w) and int(w.min()) < 0:
+                raise ValueError("cms_topk weights must be non-negative")
+            part = cms.from_hashes(h, counts=w, d=d, log2_w=log2_w)
             tbl = part if tbl is None else cms.merge_many([tbl, part])
             bdf = (
                 pd.DataFrame({
                     "v": batch.column(0).to_pandas(),
                     "h": batch.column(1).to_pandas(),
+                    "n": w,
                 }).groupby("v", sort=False, as_index=False)
-                .agg(n=("v", "size"), h=("h", "first"))
+                .agg(n=("n", "sum"), h=("h", "first"))
             )
             pending.append(bdf)
             pending_rows += len(bdf)

@@ -288,3 +288,27 @@ class TestWeightedCms:
             sk, np.array([hx["h"], hx["h2"]], dtype=np.int64).view(np.uint64))
         assert list(got) == [15, 7]
         assert cms_kernel.params(sk)[2] == 22  # n_total = total mass
+
+
+class TestWeightedTopk:
+    def test_weighted_topk_matches_exact_sum_ranking(self, spark):
+        from hyperloglog_spark.frequency import cms_topk
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        got = [(r["l_partkey"], r["approx_count"]) for r in cms_topk(
+            li, "l_partkey", k=5, weight_col="l_quantity").collect()]
+        want = [(r["l_partkey"], r["total"]) for r in (
+            li.groupBy("l_partkey")
+            .agg(F.sum("l_quantity").alias("total"))
+            .orderBy(F.desc("total"), "l_partkey").limit(5).collect())]
+        assert got == want  # exact regime: estimates == exact sums
+
+    def test_weighted_topk_partition_invariance(self, spark):
+        from hyperloglog_spark.frequency import cms_topk
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        a = cms_topk(li, "l_partkey", k=5, weight_col="l_quantity").collect()
+        b = cms_topk(li.repartition(17), "l_partkey", k=5,
+                     weight_col="l_quantity").collect()
+        assert list(map(tuple, a)) == list(map(tuple, b))
