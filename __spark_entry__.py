@@ -264,6 +264,17 @@ def q_cms_weighted_qty_by_partkey(spark, sf_dir):
     )
 
 
+def q_cms_weighted_topk_partkeys(spark, sf_dir):
+    """Weighted heavy hitters through the MG-candidate operator: top
+    partkeys by TOTAL QUANTITY (mass), one CMS + bounded weighted-MG
+    summary per partition. Exact-ranking regime at sf0.01 -> oracle is
+    plain SUM group-by."""
+    from hyperloglog_spark import cms_topk
+
+    return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5,
+                    weight_col="l_quantity")
+
+
 def q_cms_top_ngrams_documents(spark, sf_dir):
     """Corpus-wide heavy-hitter word 3-grams: per-doc n-gram arrays built
     in codegen, exploded inline (pipelined, no shuffle), then the CMS+MG
@@ -1809,11 +1820,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_contamination_documents": q_ngram_contamination_documents,
     "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
     "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
+    "cms_weighted_topk_partkeys": q_cms_weighted_topk_partkeys,
     "countsketch_f2_event_types": q_countsketch_f2_event_types,
     "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
 }
 
 _ORACLES: dict[str, str] = {
+    "cms_weighted_topk_partkeys": """
+SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS approx_count
+FROM lineitem GROUP BY l_partkey
+ORDER BY approx_count DESC, l_partkey LIMIT 5
+""",
     "cms_weighted_qty_by_partkey": """
 WITH h AS (
   SELECT l_partkey,
