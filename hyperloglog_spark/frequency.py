@@ -189,7 +189,8 @@ def cms_topk(
     src = _drop_null_rows(df, [col])
     col_field = next(f for f in src.schema.fields if f.name == col)
 
-    wcol = (F.col(weight_col).cast("long") if weight_col is not None
+    weighted = weight_col is not None
+    wcol = (F.col(weight_col).cast("long") if weighted
             else F.lit(1).cast("long"))
     proj = src.select(F.col(col).alias("v"), F.xxhash64(col).alias("h"),
                       wcol.alias("w"))
@@ -233,10 +234,17 @@ def cms_topk(
             if batch.num_rows == 0:
                 continue
             h = _to_numpy_u64(batch.column(1))
-            w = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(w) and int(w.min()) < 0:
-                raise ValueError("cms_topk weights must be non-negative")
-            part = cms.from_hashes(h, counts=w, d=d, log2_w=log2_w)
+            if weighted:
+                w = batch.column(2).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(w) and int(w.min()) < 0:
+                    raise ValueError("cms_topk weights must be non-negative")
+                part = cms.from_hashes(h, counts=w, d=d, log2_w=log2_w)
+            else:
+                # unweighted fast path: np.unique pre-aggregation inside
+                # from_hashes (one add.at per DISTINCT value)
+                w = np.ones(len(h), dtype=np.int64)
+                part = cms.from_hashes(h, d=d, log2_w=log2_w)
             tbl = part if tbl is None else cms.merge_many([tbl, part])
             bdf = (
                 pd.DataFrame({
