@@ -313,19 +313,25 @@ def cms_topk_shards(
     d: int = cms.DEFAULT_D,
     log2_w: int = cms.DEFAULT_LOG2_W,
     candidates_per_shard: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The STORABLE unit for heavy hitters: one row per shard (e.g. per
     day) holding that shard's CMS plus a bounded local-candidate list.
     Persist these rows once; ``cms_topk_rollup`` answers top-k over any
     union of shards with zero rescan. Any global heavy hitter is a local
     heavy hitter in at least one shard when candidates_per_shard is sized
-    generously (>= 4k is the usual rule)."""
+    generously (>= 4k is the usual rule). ``weight_col`` stores mass-based
+    shards (totals instead of counts), same contract."""
     shard_by = [shard_by] if isinstance(shard_by, str) else list(shard_by)
     src = _drop_null_rows(df, [col])
     col_field = next(f for f in src.schema.fields if f.name == col)
+    weighted = weight_col is not None
+    wcol = (F.col(weight_col).cast("long") if weighted
+            else F.lit(1).cast("long"))
     proj = src.select(
         *[F.col(c) for c in shard_by],
         F.col(col).alias("__v"), F.xxhash64(col).alias("__h"),
+        wcol.alias("__w"),
     )
     shard_fields = [
         f for f in src.schema.fields if f.name in shard_by
@@ -341,10 +347,17 @@ def cms_topk_shards(
         import pandas as pd
 
         h = pdf["__h"].to_numpy(dtype=np.int64).view(np.uint64)
-        sk = cms.from_hashes(h, d=d, log2_w=log2_w)
+        if weighted:
+            w = pdf["__w"].to_numpy(dtype=np.int64)
+            if len(w) and int(w.min()) < 0:
+                raise ValueError("cms_topk_shards weights must be "
+                                 "non-negative")
+            sk = cms.from_hashes(h, counts=w, d=d, log2_w=log2_w)
+        else:
+            sk = cms.from_hashes(h, d=d, log2_w=log2_w)
         acc = (
             pdf.groupby("__v", sort=False, as_index=False)
-            .agg(n=("__v", "size"), h=("__h", "first"))
+            .agg(n=("__w", "sum"), h=("__h", "first"))
             .sort_values(["n", "__v"], ascending=[False, True])
             .head(cpp)
         )

@@ -258,3 +258,21 @@ class TestBloomRollup:
         rolled = bytes(merge_sketches(shards).collect()[0][0])
         direct = bytes(bloom_agg(events, "user_id").collect()[0][0])
         assert rolled == direct   # bitset OR is associative + commutative
+
+
+def test_weighted_shards_rollup_matches_exact_sums(spark):
+    from pyspark.sql import functions as F
+
+    from hyperloglog_spark.frequency import cms_topk_rollup, cms_topk_shards
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    shards = cms_topk_shards(
+        li, "l_partkey", shard_by="l_returnflag",
+        candidates_per_shard=64, weight_col="l_quantity",
+    )
+    got = [(r["l_partkey"], r["approx_count"])
+           for r in cms_topk_rollup(shards, "l_partkey", k=5).collect()]
+    want = [(r["l_partkey"], r["total"]) for r in (
+        li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("total"))
+        .orderBy(F.desc("total"), "l_partkey").limit(5).collect())]
+    assert got == want
