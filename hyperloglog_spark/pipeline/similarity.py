@@ -746,11 +746,18 @@ def fit_pq_codebooks(
     seed: int = 311,
     grid_bits: int | None = None,
     hashing: str = "xxhash64",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jegou, Douze & Schmid 2011, PAMI):
     split each (normalized) vector into ``m`` subvectors and k-means each
     subspace independently into ``n_codes`` centroids. Returns
     ``(m, n_codes, dim//m)`` float64 codebooks.
+
+    ``centroids`` switches to RESIDUAL fitting (ibid. §IV, the true IVFADC
+    form): each row is first assigned to its nearest coarse centroid and
+    the codebooks quantize u - c_cell instead of u. Residuals are small
+    where the coarse quantizer is good, so the same code budget spends
+    its resolution on the part the cell id does not already encode.
 
     Distribution shape mirrors ``fit_ivf_centroids_distributed``: init is
     the ``n_codes`` bottom-hash rows (O(n_codes) collect), every Lloyd's
@@ -770,12 +777,16 @@ def fit_pq_codebooks(
     if not init_rows:
         raise ValueError("cannot fit PQ codebooks on an empty corpus")
     vecs = _normalize(np.array([r[1] for r in init_rows], dtype=np.float64))
+    coarse = (np.asarray(centroids, dtype=np.float64)
+              if centroids is not None else None)
+    if coarse is not None:
+        vecs = vecs - coarse[np.argmax(vecs @ coarse.T, axis=1)]
     n_codes = len(vecs)
     dim = vecs.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d = dim // m
-    # codebook[s][c] = subvector s of init row c
+    # codebook[s][c] = subvector s of init row c (residualized if coarse)
     cb = np.ascontiguousarray(
         vecs.reshape(n_codes, m, d).transpose(1, 0, 2)
     ).astype(np.float64)
@@ -789,6 +800,8 @@ def fit_pq_codebooks(
                 if batch.num_rows == 0:
                     continue
                 mat = _normalize(_vec_matrix(batch.column(0)))
+                if coarse is not None:
+                    mat = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
                 subs = mat.reshape(len(mat), m, d)
                 vals = np.floor(subs * scale) if scale else subs
                 ss, cc, pp, vv = [], [], [], []
@@ -849,6 +862,7 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: np.ndarray,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, codes binary) with one byte per
     subspace — the storable ANN index. At dim=1024 float32 this is a
@@ -859,6 +873,8 @@ def pq_encode(
     m, n_codes, d = cb.shape
     if n_codes > 256:
         raise ValueError("pq_encode packs one byte per subspace: n_codes <= 256")
+    coarse = (np.asarray(centroids, dtype=np.float64)
+              if centroids is not None else None)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -866,6 +882,8 @@ def pq_encode(
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
+            if coarse is not None:
+                mat = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
             subs = mat.reshape(len(mat), m, d)
             codes = np.empty((len(mat), m), dtype=np.uint8)
             for s in range(m):
@@ -932,6 +950,7 @@ def pq_topk(
         codebooks = fit_pq_codebooks(
             corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=iters,
             seed=seed, grid_bits=grid_bits, hashing=hashing,
+            centroids=(cents if residual else None),
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, d = cb.shape
@@ -1044,6 +1063,7 @@ def ivf_pq_topk(
     max_queries: int = 4096,
     refine: bool = True,
     refine_k: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011 §IV): the composed big-ANN architecture —
     a coarse quantizer routes every corpus row to one of ``n_cells``
@@ -1069,6 +1089,7 @@ def ivf_pq_topk(
         codebooks = fit_pq_codebooks(
             corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=iters,
             seed=seed, grid_bits=grid_bits, hashing=hashing,
+            centroids=(cents if residual else None),
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, d = cb.shape
@@ -1101,7 +1122,8 @@ def ivf_pq_topk(
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
             cell = np.argmax(mat @ cents.T, axis=1)
-            subs = mat.reshape(len(mat), m, d)
+            enc = mat - cents[cell] if residual else mat
+            subs = enc.reshape(len(mat), m, d)
             codes = np.empty((len(mat), m), dtype=np.int64)
             for s in range(m):
                 dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
@@ -1114,7 +1136,10 @@ def ivf_pq_topk(
                 mcodes = codes[members]
                 mids = ids[members]
                 for qi in qis:
-                    sc = np.zeros(len(members))
+                    # residual ADC: q.x ~ q.c_cell + q.r_hat — the bias is
+                    # constant per (query, cell)
+                    sc = np.full(len(members),
+                                 qdots[qi, c] if residual else 0.0)
                     for s in range(m):
                         sc += lut[qi, s, mcodes[:, s]]
                     pm = np.floor(sc * 1000.0).astype(np.int64)

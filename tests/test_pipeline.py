@@ -1312,3 +1312,69 @@ def test_repetition_oracle_parity_on_randomized_corpus(spark):
     duck = con.sql(entrymod.oracle_sql()["text_repetition_stats"])
     want = {r[0]: tuple(r[1:]) for r in duck.fetchall()}
     assert got == want
+
+
+def test_ivf_pq_residual_encoding(spark):
+    """Residual encoding (true IVFADC): quantizing u - c_cell must
+    reconstruct strictly better than quantizing u at the same code budget
+    (the coarse quantizer absorbs the cluster structure, so the codes
+    spend their bits on what the cell id does not encode), ADC without
+    re-rank must retrieve the right CLUSTER, and the full pipeline with
+    re-rank stays near-exact."""
+    from hyperloglog_spark.pipeline import (
+        brute_force_topk, fit_pq_codebooks, ivf_pq_topk,
+    )
+    from hyperloglog_spark.pipeline.similarity import (
+        _normalize, fit_ivf_centroids_distributed,
+    )
+
+    df = _clustered_vecs(spark, n=400)
+    q = df.filter(F.col("vec_id") < 30)
+    cents = fit_ivf_centroids_distributed(
+        df, "vec_id", "embedding", n_cells=16, iters=3)
+    cb_plain = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=8,
+                                iters=2)
+    cb_res = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=8,
+                              iters=2, centroids=cents)
+
+    rows = sorted((r["vec_id"], r["embedding"])
+                  for r in df.select("vec_id", "embedding").collect())
+    u = _normalize(np.array([v for _, v in rows], dtype=np.float64))
+    cell = np.argmax(u @ cents.T, axis=1)
+    res = u - cents[cell]
+    m, n_codes, d = cb_plain.shape
+
+    def recon_err(mat, cb, add=None):
+        subs = mat.reshape(len(mat), m, d)
+        out = np.empty_like(mat)
+        for s in range(m):
+            dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
+            out[:, s * d:(s + 1) * d] = cb[s][np.argmin(dist, axis=1)]
+        if add is not None:
+            out = out + add
+        return float(np.linalg.norm(u - out, axis=1).mean())
+
+    e_plain = recon_err(u, cb_plain)
+    e_res = recon_err(res, cb_res, add=cents[cell])
+    assert e_res < e_plain  # residual codes reconstruct strictly better
+
+    # raw ADC (no re-rank): the top-1 neighbor must come from the query's
+    # true cluster (vec_id % 20 partitions the planted clusters)
+    got = ivf_pq_topk(df, q, "vec_id", "embedding", k=1, centroids=cents,
+                      codebooks=cb_res, nprobe=4, refine=False,
+                      residual=True).collect()
+    cluster_hits = sum(
+        1 for r in got if r["neighbor_id"] % 20 == r["query_id"] % 20)
+    assert cluster_hits / len(got) >= 0.9
+
+    # full pipeline with exact re-rank: near-exact recall@1
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df, q, "vec_id", "embedding",
+                                    k=1).collect()}
+    got2 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_pq_topk(df, q, "vec_id", "embedding", k=1,
+                                 centroids=cents, codebooks=cb_res,
+                                 nprobe=4, refine=True,
+                                 residual=True).collect()}
+    hits = sum(bf[key] == got2.get(key) for key in bf)
+    assert hits / len(bf) >= 0.9
