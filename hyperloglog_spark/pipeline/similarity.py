@@ -950,7 +950,6 @@ def pq_topk(
         codebooks = fit_pq_codebooks(
             corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=iters,
             seed=seed, grid_bits=grid_bits, hashing=hashing,
-            centroids=(cents if residual else None),
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, d = cb.shape
