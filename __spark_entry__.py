@@ -367,6 +367,32 @@ def q_embedding_topk_ivfpq(spark, sf_dir):
     )
 
 
+def q_embedding_topk_ivfpq_residual(spark, sf_dir):
+    """Residual IVFADC (Jegou et al. 2011 §IV, the true form): PQ codes
+    quantize u - c_cell, ADC scores q.c_cell + q.r_hat, exact re-rank.
+    ALGORITHM-MIRROR oracle: both fits, the residual subtraction, routing,
+    biased ADC and the re-rank replayed from scratch in SQL."""
+    from hyperloglog_spark.pipeline import fit_pq_codebooks, ivf_pq_topk
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids_distributed(
+        emb, "vec_id", "embedding", n_cells=8, iters=1,
+        grid_bits=20, hashing="md5",
+    )
+    cb = fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=4, n_codes=8, iters=1,
+        grid_bits=20, hashing="md5", centroids=cents,
+    )
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, centroids=cents, codebooks=cb, nprobe=4,
+        refine=True, refine_k=32, residual=True,
+    )
+
+
 def q_fd_gram_embeddings(spark, sf_dir):
     """Frequent Directions (Liberty 2013) Gram sketch over the embeddings
     table, EXACT-REGIME oracle: 500 rows <= buffer capacity 2*ell=1024, so
@@ -1768,6 +1794,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_top5_partkeys": q_cms_top5_partkeys,
     "embedding_topk_pq": q_embedding_topk_pq,
     "embedding_topk_ivfpq": q_embedding_topk_ivfpq,
+    "embedding_topk_ivfpq_residual": q_embedding_topk_ivfpq_residual,
     "fd_gram_embeddings": q_fd_gram_embeddings,
     "fd_gram_by_label": q_fd_gram_by_label,
     "tdigest_weighted_price_quantiles": q_tdigest_weighted_price_quantiles,
@@ -2023,6 +2050,151 @@ GROUP BY event_type ORDER BY event_type
     "cms_top5_partkeys":
         "SELECT l_partkey, count(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey ORDER BY approx_count DESC, l_partkey LIMIT 5",
+    "embedding_topk_ivfpq_residual": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM e
+), keyed AS (
+  SELECT vec_id, u,
+         ('0x' || substr(md5(concat(CAST(vec_id AS VARCHAR), '#', '311')), 1, 15))::BIGINT AS mk
+  FROM n
+), init AS (
+  SELECT row_number() OVER (ORDER BY mk, vec_id) - 1 AS cell, u AS cu
+  FROM keyed ORDER BY mk, vec_id LIMIT 8
+), iasgn AS (
+  SELECT k.vec_id, k.u, i.cell,
+         row_number() OVER (PARTITION BY k.vec_id ORDER BY
+           list_sum(list_transform(range(1, len(k.u) + 1), j -> k.u[j] * i.cu[j])) DESC,
+           i.cell) AS rn
+  FROM keyed k CROSS JOIN init i
+), imembers AS (
+  SELECT u, cell FROM iasgn WHERE rn = 1
+), istats AS (
+  SELECT cell, pos, sum(floor(val * 1048576.0)) AS s, count(*) AS cnt
+  FROM (SELECT cell, unnest(u) AS val, unnest(range(1, len(u) + 1)) AS pos FROM imembers)
+  GROUP BY cell, pos
+), igraw AS (
+  SELECT cell, list(floor(s / cnt) / 1048576.0 ORDER BY pos) AS gv
+  FROM istats GROUP BY cell
+), cents AS (
+  SELECT i.cell,
+         CASE WHEN g.gv IS NULL THEN i.cu
+              ELSE list_transform(g.gv, x -> x / sqrt(list_sum(list_transform(g.gv, y -> y * y)))) END AS cu
+  FROM init i LEFT JOIN igraw g ON i.cell = g.cell
+), ccells AS (
+  SELECT n2.vec_id, c.cell,
+         row_number() OVER (PARTITION BY n2.vec_id ORDER BY
+           list_sum(list_transform(range(1, len(n2.u) + 1), j -> n2.u[j] * c.cu[j])) DESC,
+           c.cell) AS rn
+  FROM n n2 CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT vec_id, cell FROM ccells WHERE rn = 1
+), resv AS (
+  SELECT nn.vec_id,
+         list_transform(range(1, len(nn.u) + 1),
+                        j -> nn.u[j] - c.cu[j]) AS r
+  FROM n nn
+  JOIN corpus_cells cc ON nn.vec_id = cc.vec_id
+  JOIN cents c ON c.cell = cc.cell
+), pinit AS (
+  SELECT row_number() OVER (ORDER BY k.mk, k.vec_id) - 1 AS code, rv.r AS cu
+  FROM keyed k JOIN resv rv ON rv.vec_id = k.vec_id
+  ORDER BY k.mk, k.vec_id LIMIT 8
+), initcb AS (
+  SELECT t.s, i.code, i.cu[t.s * 16 + 1 : (t.s + 1) * 16] AS cb
+  FROM pinit i, range(4) t(s)
+), subv AS (
+  SELECT rv.vec_id, t.s, rv.r[t.s * 16 + 1 : (t.s + 1) * 16] AS sub
+  FROM resv rv, range(4) t(s)
+), pasgn AS (
+  SELECT sv.vec_id, sv.s, sv.sub, c.code,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+           list_sum(list_transform(range(1, 17),
+             j -> (sv.sub[j] - c.cb[j]) * (sv.sub[j] - c.cb[j]))) ASC,
+           c.code) AS rn
+  FROM subv sv JOIN initcb c ON sv.s = c.s
+), pmembers AS (
+  SELECT s, code, sub FROM pasgn WHERE rn = 1
+), pstats AS (
+  SELECT s, code, pos, sum(floor(val * 1048576.0)) AS sm, count(*) AS cnt
+  FROM (SELECT s, code, unnest(sub) AS val,
+               unnest(range(1, 17)) AS pos FROM pmembers)
+  GROUP BY s, code, pos
+), pgraw AS (
+  SELECT s, code, list(floor(sm / cnt) / 1048576.0 ORDER BY pos) AS gv
+  FROM pstats GROUP BY s, code
+), cb AS (
+  SELECT i.s, i.code, coalesce(g.gv, i.cb) AS cb
+  FROM initcb i LEFT JOIN pgraw g ON i.s = g.s AND i.code = g.code
+), enc AS (
+  SELECT sv.vec_id, sv.s, c.code,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+           list_sum(list_transform(range(1, 17),
+             j -> (sv.sub[j] - c.cb[j]) * (sv.sub[j] - c.cb[j]))) ASC,
+           c.code) AS rn
+  FROM subv sv JOIN cb c ON sv.s = c.s
+), codes AS (
+  SELECT vec_id, s, code FROM enc WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM ccells
+  WHERE rn <= 4 AND vec_id < 8
+), qsub AS (
+  SELECT n3.vec_id AS query_id, t.s,
+         n3.u[t.s * 16 + 1 : (t.s + 1) * 16] AS qs
+  FROM n n3, range(4) t(s) WHERE n3.vec_id < 8
+), qbias AS (
+  SELECT n4.vec_id AS query_id, c.cell,
+         list_sum(list_transform(range(1, len(n4.u) + 1),
+                  j -> n4.u[j] * c.cu[j])) AS bias
+  FROM n n4 CROSS JOIN cents c WHERE n4.vec_id < 8
+), candidates AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.cell
+  FROM probes p JOIN corpus_cells x ON p.cell = x.cell
+  WHERE p.query_id <> x.vec_id
+), tper AS (
+  SELECT cd.query_id, cd.neighbor_id, qb.bias, x.s,
+         list_sum(list_transform(range(1, 17),
+             j -> q.qs[j] * c.cb[j])) AS t
+  FROM candidates cd
+  JOIN qbias qb ON qb.query_id = cd.query_id AND qb.cell = cd.cell
+  JOIN codes x ON x.vec_id = cd.neighbor_id
+  JOIN qsub q ON q.query_id = cd.query_id AND q.s = x.s
+  JOIN cb c ON c.s = x.s AND c.code = x.code
+), adc AS (
+  -- fixed left-to-right association (bias + t0 + t1 + t2 + t3), matching
+  -- the kernel's sequential accumulation — a float-order-free mirror
+  SELECT query_id, neighbor_id,
+         max(bias)
+         + max(CASE WHEN s = 0 THEN t END)
+         + max(CASE WHEN s = 1 THEN t END)
+         + max(CASE WHEN s = 2 THEN t END)
+         + max(CASE WHEN s = 3 THEN t END) AS adc_score
+  FROM tper GROUP BY query_id, neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           CAST(floor(1000.0 * adc_score) AS BIGINT) DESC, neighbor_id) AS srn
+  FROM adc
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(floor(1000.0 * list_sum(list_transform(range(1, len(qn.u) + 1),
+              i -> qn.u[i] * nn.u[i]))) AS BIGINT) AS score_permille
+  FROM short s
+  JOIN n qn ON qn.vec_id = s.query_id
+  JOIN n nn ON nn.vec_id = s.neighbor_id
+  WHERE s.srn <= 32
+)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id,
+       score_permille
+FROM rerank
+WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""",
     "embedding_topk_ivfpq": """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

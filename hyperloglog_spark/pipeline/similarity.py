@@ -736,6 +736,33 @@ def blocked_topk(
 # -------------------------------------------------- product quantization
 
 
+
+def _seq_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, d) x (k, d) -> (n, k) dot products accumulated LEFT-TO-RIGHT
+    over d (not BLAS) — association matches an external engine's
+    sequential list_sum, so floor-quantized scores built on these dots
+    cannot flip with numpy batch shape or BLAS kernel choice."""
+    out = np.zeros((len(a), len(b)))
+    for j in range(a.shape[1]):
+        out += a[:, j, None] * b[None, :, j]
+    return out
+
+
+def _adc_lut(q_mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """ADC lookup tables LUT[q, s, c] = q_sub(s) . cb[s][c], accumulated
+    LEFT-TO-RIGHT over the subspace dimension. Sequential association (not
+    einsum/pairwise) so the floats match an external engine's sequential
+    list_sum exactly — floor(1000*score) boundaries cannot flip between
+    the kernel and the SQL oracle."""
+    nq = len(q_mat)
+    m, n_codes, d = cb.shape
+    qs = q_mat.reshape(nq, m, d)
+    lut = np.zeros((nq, m, n_codes))
+    for j in range(d):
+        lut += qs[:, :, None, j] * cb[None, :, :, j]
+    return lut
+
+
 def fit_pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -780,7 +807,7 @@ def fit_pq_codebooks(
     coarse = (np.asarray(centroids, dtype=np.float64)
               if centroids is not None else None)
     if coarse is not None:
-        vecs = vecs - coarse[np.argmax(vecs @ coarse.T, axis=1)]
+        vecs = vecs - coarse[np.argmax(_seq_dots(vecs, coarse), axis=1)]
     n_codes = len(vecs)
     dim = vecs.shape[1]
     if dim % m:
@@ -801,7 +828,8 @@ def fit_pq_codebooks(
                     continue
                 mat = _normalize(_vec_matrix(batch.column(0)))
                 if coarse is not None:
-                    mat = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
+                    mat = mat - coarse[
+                        np.argmax(_seq_dots(mat, coarse), axis=1)]
                 subs = mat.reshape(len(mat), m, d)
                 vals = np.floor(subs * scale) if scale else subs
                 ss, cc, pp, vv = [], [], [], []
@@ -883,7 +911,8 @@ def pq_encode(
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
             if coarse is not None:
-                mat = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
+                mat = mat - coarse[
+                    np.argmax(_seq_dots(mat, coarse), axis=1)]
             subs = mat.reshape(len(mat), m, d)
             codes = np.empty((len(mat), m), dtype=np.uint8)
             for s in range(m):
@@ -966,7 +995,7 @@ def pq_topk(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
     # LUT[q, s, c] = q_sub(s) . cb[s][c]
-    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
+    lut = _adc_lut(q_mat, cb)
     nq = len(q_ids)
     shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
 
@@ -996,9 +1025,10 @@ def pq_topk(
                 if not len(col):
                     continue
                 take = min(shortlist_k, len(col))
-                part = np.argpartition(-col, take - 1)[:take]
-                # deterministic local order: score desc, neighbor asc
-                order = part[np.lexsort((nids[part], -col[part]))]
+                # local cut under the FINAL ordering (score desc, id asc):
+                # an argpartition cut breaks score TIES arbitrarily and can
+                # drop the tied candidate the global merge would keep
+                order = np.lexsort((nids, -col))[:take]
                 out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
                 out_n.append(nids[order])
                 out_s.append(col[order])
@@ -1103,9 +1133,12 @@ def ivf_pq_topk(
         raise ValueError("empty query set")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
-    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
-    # probe cells per query: top-nprobe by dot, ties -> lower cell
-    qdots = q_mat @ cents.T
+    lut = _adc_lut(q_mat, cb)
+    # probe cells per query: top-nprobe by dot, ties -> lower cell; the
+    # dots also serve as the residual-ADC bias, so they use the
+    # sequential-association kernel (floor-boundary stability vs the
+    # SQL oracle)
+    qdots = _seq_dots(q_mat, cents)
     probe_cells = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
     # cell -> list of query indices probing it
     cell_queries: dict[int, list[int]] = {}
@@ -1120,7 +1153,7 @@ def ivf_pq_topk(
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
-            cell = np.argmax(mat @ cents.T, axis=1)
+            cell = np.argmax(_seq_dots(mat, cents), axis=1)
             enc = mat - cents[cell] if residual else mat
             subs = enc.reshape(len(mat), m, d)
             codes = np.empty((len(mat), m), dtype=np.int64)
@@ -1149,8 +1182,9 @@ def ivf_pq_topk(
                     if not len(pm):
                         continue
                     take = min(shortlist_k, len(pm))
-                    part = np.argpartition(-pm, take - 1)[:take]
-                    order = part[np.lexsort((nids[part], -pm[part]))]
+                    # final-ordering local cut (see pq_topk): score ties
+                    # must break by id BEFORE the cut, not after
+                    order = np.lexsort((nids, -pm))[:take]
                     out_q.append(np.full(len(order), q_ids[qi], np.int64))
                     out_n.append(nids[order])
                     out_s.append(pm[order])
@@ -1230,7 +1264,7 @@ def pq_topk_from_codes(
         raise ValueError(
             f"query dim {q_mat.shape[1]} != m*d = {m * d} of the codebooks"
         )
-    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_mat), m, d), cb)
+    lut = _adc_lut(q_mat, cb)
     nq = len(q_ids)
     refine = corpus is not None
     shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
@@ -1268,8 +1302,8 @@ def pq_topk_from_codes(
                 if not len(col):
                     continue
                 take = min(shortlist_k, len(col))
-                part = np.argpartition(-col, take - 1)[:take]
-                order = part[np.lexsort((nids[part], -col[part]))]
+                # final-ordering local cut (see pq_topk): ties break by id
+                order = np.lexsort((nids, -col))[:take]
                 out_q.append(np.full(len(order), q_ids[qi], np.int64))
                 out_n.append(nids[order])
                 out_s.append(col[order])
