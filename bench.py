@@ -160,15 +160,13 @@ def main() -> None:
                 m=8, n_codes=16, iters=1,
             ),
         ),
-        # composed IVFADC: routed cells + byte codes + ADC + exact rerank
+        # composed IVFADC (residual form): routed cells + residual byte
+        # codes + biased ADC + exact rerank
         "embedding_topk_ivfpq": lambda: ivf_pq_topk(
             t(spark, "embeddings"),
             t(spark, "embeddings").filter(F.col("vec_id") < 32),
             "vec_id", "embedding", k=10, n_cells=16, nprobe=4,
-            codebooks=fit_pq_codebooks(
-                t(spark, "embeddings"), "vec_id", "embedding",
-                m=8, n_codes=16, iters=1,
-            ),
+            residual=True,
         ),
         "neardup_clusters_docs": lambda: near_dup_clusters(
             near_dup_pairs(t(spark, "documents"), "text", "doc_id"),
