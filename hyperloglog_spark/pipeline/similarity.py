@@ -896,7 +896,12 @@ def pq_encode(
     subspace — the storable ANN index. At dim=1024 float32 this is a
     4096 B -> m B compression (512x at m=8); a 10^12-row corpus index fits
     in ~8 TB instead of 4 PB, which is the difference between an index you
-    can broadcast-scan and one you cannot hold at all."""
+    can broadcast-scan and one you cannot hold at all.
+
+    With ``centroids`` the codes quantize the RESIDUAL u - c_cell and the
+    output gains a ``cell`` column — the storable IVFADC index
+    (id, cell, codes); search it with ``pq_topk_from_codes(...,
+    centroids=..., cell_col="cell")``."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, d = cb.shape
     if n_codes > 256:
@@ -910,9 +915,10 @@ def pq_encode(
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
+            cell = None
             if coarse is not None:
-                mat = mat - coarse[
-                    np.argmax(_seq_dots(mat, coarse), axis=1)]
+                cell = np.argmax(_seq_dots(mat, coarse), axis=1)
+                mat = mat - coarse[cell]
             subs = mat.reshape(len(mat), m, d)
             codes = np.empty((len(mat), m), dtype=np.uint8)
             for s in range(m):
@@ -926,14 +932,17 @@ def pq_encode(
                 [None, pa.py_buffer(offsets.tobytes()),
                  pa.py_buffer(codes.tobytes(order="C"))],
             )
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), codes_arr],
-                names=[id_col, "codes"],
-            )
+            arrays = [pa.array(ids, pa.int64()), codes_arr]
+            names = [id_col, "codes"]
+            if cell is not None:
+                arrays.append(pa.array(cell.astype(np.int64), pa.int64()))
+                names.append("cell")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return corpus.select(id_col, vec_col).mapInArrow(
-        fn, f"{id_col} bigint, codes binary"
-    )
+    out_schema = f"{id_col} bigint, codes binary"
+    if coarse is not None:
+        out_schema += ", cell bigint"
+    return corpus.select(id_col, vec_col).mapInArrow(fn, out_schema)
 
 
 def pq_topk(
@@ -1237,13 +1246,21 @@ def pq_topk_from_codes(
     exclude_self: bool = True,
     max_queries: int = 4096,
     refine_k: int | None = None,
+    centroids: np.ndarray | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """ADC top-k over a STORED PQ index — the serving pattern: encode the
     corpus once with ``pq_encode`` (m bytes/row), persist, then answer
     query batches from the codes alone without touching the vectors.
     Given the same codebooks, results are identical to ``pq_topk(...,
     refine=False)``; pass ``corpus``+``vec_col`` to also run the exact
-    re-rank (requires the original vectors, as in ``pq_topk``)."""
+    re-rank (requires the original vectors, as in ``pq_topk``).
+
+    For a RESIDUAL index (``pq_encode(..., centroids=...)``, rows carry a
+    ``cell`` column) pass the same ``centroids``: ADC adds the per-(query,
+    cell) bias q.c_cell — a full biased scan of the stored codes,
+    equivalent to ``ivf_pq_topk(residual=True, refine=False)`` probing
+    every cell."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, d = cb.shape
 
@@ -1266,6 +1283,9 @@ def pq_topk_from_codes(
         )
     lut = _adc_lut(q_mat, cb)
     nq = len(q_ids)
+    coarse = (np.asarray(centroids, dtype=np.float64)
+              if centroids is not None else None)
+    qbias = _seq_dots(q_mat, coarse) if coarse is not None else None
     refine = corpus is not None
     shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
 
@@ -1274,6 +1294,8 @@ def pq_topk_from_codes(
             if batch.num_rows == 0:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cells = (batch.column(2).to_numpy(zero_copy_only=False)
+                     .astype(np.int64) if qbias is not None else None)
             carr = batch.column(1)
             if isinstance(carr, pa.ChunkedArray):
                 carr = carr.combine_chunks()
@@ -1289,7 +1311,8 @@ def pq_topk_from_codes(
             data = np.frombuffer(carr.buffers()[2], dtype=np.uint8)
             flat = data[offs[0]: offs[-1]]
             codes = flat.reshape(len(ids), m).astype(np.int64)
-            scores = np.zeros((len(ids), nq))
+            scores = (qbias[:, cells].T.copy()
+                      if qbias is not None else np.zeros((len(ids), nq)))
             for s in range(m):
                 scores += lut[:, s, codes[:, s]].T
             pm = np.floor(scores * 1000.0).astype(np.int64)
@@ -1316,7 +1339,9 @@ def pq_topk_from_codes(
                 names=["query_id", "neighbor_id", "score_permille"],
             )
 
-    scored = codes_df.select(id_col, codes_col).mapInArrow(
+    proj_cols = [id_col, codes_col] + (
+        [cell_col] if coarse is not None else [])
+    scored = codes_df.select(*proj_cols).mapInArrow(
         fn, "query_id bigint, neighbor_id bigint, score_permille bigint"
     )
     adc_topk = (

@@ -1378,3 +1378,30 @@ def test_ivf_pq_residual_encoding(spark):
                                  residual=True).collect()}
     hits = sum(bf[key] == got2.get(key) for key in bf)
     assert hits / len(bf) >= 0.9
+
+
+def test_pq_stored_residual_index_matches_full_probe_ivfadc(spark):
+    """Stored residual index (id, cell, codes) + biased ADC scan ==
+    ivf_pq_topk(residual=True, refine=False) probing every cell."""
+    from hyperloglog_spark.pipeline import (
+        fit_pq_codebooks, ivf_pq_topk, pq_encode, pq_topk_from_codes,
+    )
+    from hyperloglog_spark.pipeline.similarity import (
+        fit_ivf_centroids_distributed,
+    )
+
+    df = _clustered_vecs(spark, n=250)
+    q = df.filter(F.col("vec_id") < 8)
+    cents = fit_ivf_centroids_distributed(
+        df, "vec_id", "embedding", n_cells=8, iters=2)
+    cb = fit_pq_codebooks(df, "vec_id", "embedding", m=8, n_codes=16,
+                          iters=2, centroids=cents)
+    codes = pq_encode(df, "vec_id", "embedding", cb, centroids=cents)
+    assert "cell" in codes.columns
+
+    stored = pq_topk_from_codes(
+        codes, q, "vec_id", cb, k=5, centroids=cents).collect()
+    live = ivf_pq_topk(df, q, "vec_id", "embedding", k=5, centroids=cents,
+                       codebooks=cb, nprobe=8, refine=False,
+                       residual=True).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, live))
