@@ -1155,6 +1155,7 @@ def ivf_pq_topk(
         for c in probe_cells[qi]:
             cell_queries.setdefault(int(c), []).append(qi)
     shortlist_k = k if not refine else (refine_k or max(4 * k, 32))
+    probe_arr = np.fromiter(cell_queries.keys(), dtype=np.int64)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -1163,9 +1164,15 @@ def ivf_pq_topk(
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(_vec_matrix(batch.column(1)))
             cell = np.argmax(_seq_dots(mat, cents), axis=1)
-            enc = mat - cents[cell] if residual else mat
-            subs = enc.reshape(len(mat), m, d)
-            codes = np.empty((len(mat), m), dtype=np.int64)
+            # only members of probed cells can become candidates: skip
+            # encoding the rest (the whole point of the inverted lists)
+            sel = np.flatnonzero(np.isin(cell, probe_arr))
+            if not len(sel):
+                continue
+            ids, cell = ids[sel], cell[sel]
+            enc = (mat[sel] - cents[cell]) if residual else mat[sel]
+            subs = enc.reshape(len(sel), m, d)
+            codes = np.empty((len(sel), m), dtype=np.int64)
             for s in range(m):
                 dist = ((subs[:, s, :, None] - cb[s].T[None]) ** 2).sum(axis=1)
                 codes[:, s] = np.argmin(dist, axis=1)
