@@ -2737,7 +2737,7 @@ SELECT doc_id, lang, sample_key FROM (
   FROM documents
 ) WHERE rn <= 20 ORDER BY lang, sample_key
 """,
-    "text_token_stats": """
+    "text_token_stats": r"""
 SELECT doc_id, length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_types,

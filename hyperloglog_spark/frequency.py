@@ -152,7 +152,14 @@ def cms_point_query_udf(sketch: bytes):
         import pandas as pd
 
         h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        return pd.Series(cms.point_query(sketch, h).astype(np.int64))
+        out = pd.Series(
+            cms.point_query(sketch, h).astype(np.int64),
+            index=hashes.index,
+            dtype="Int64",
+        )
+        # NULL keys get NULL estimates, not the count for hash key 0.
+        out[hashes.isna()] = None
+        return out
 
     return q
 
@@ -568,6 +575,13 @@ def cs_point_query_udf(sketch: bytes):
         import pandas as pd
 
         h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        return pd.Series(countsketch.point_query(sketch, h).astype(np.int64))
+        out = pd.Series(
+            countsketch.point_query(sketch, h).astype(np.int64),
+            index=hashes.index,
+            dtype="Int64",
+        )
+        # NULL keys get NULL estimates, not the count for hash key 0.
+        out[hashes.isna()] = None
+        return out
 
     return q

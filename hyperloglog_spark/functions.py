@@ -370,9 +370,11 @@ def hll_estimate_udf(sketches):
     """Scalar pandas UDF: sketch binary column -> cardinality estimate."""
     import pandas as pd
 
+    # Nullable extension dtype: a NULL sketch row (e.g. from a left join)
+    # must yield a NULL estimate; plain "int64" raises TypeError on None.
     return pd.Series(
         [hll.estimate(bytes(s)) if s is not None else None for s in sketches],
-        dtype="int64",
+        dtype="Int64",
     )
 
 

@@ -120,8 +120,13 @@ def with_might_contain(
         import pandas as pd
 
         h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        out = bloom.might_contain(sketch, h)
-        return pd.Series(out)
+        out = pd.Series(
+            bloom.might_contain(sketch, h),
+            index=hashes.index,
+            dtype="boolean",
+        )
+        out[hashes.isna()] = None  # NULL key -> NULL, not hash-0's answer
+        return out
 
     hcol = F.xxhash64(*[F.col(c) for c in cols])
     return df.withColumn(alias, probe(hcol))
@@ -296,6 +301,12 @@ def with_cbf_might_contain(
         import pandas as pd
 
         h = hashes.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        return pd.Series(cbf.might_contain(sketch, h))
+        out = pd.Series(
+            cbf.might_contain(sketch, h),
+            index=hashes.index,
+            dtype="boolean",
+        )
+        out[hashes.isna()] = None  # NULL key -> NULL, not hash-0's answer
+        return out
 
     return df.withColumn(alias, probe(_hash_expr(cols, hashing)))

@@ -13,7 +13,7 @@ internal-only, /root/reference/HyperLogLog/EstimatorState.cs:5-12); its
 n-ary `Merge(IList)` (/root/reference/HyperLogLog/HyperLogLog.cs:788-803)
 is the single-process seed of this operator. Our codec envelope is
 self-describing (magic/version/kind — sketch/codec.py), so ONE operator
-serves all six sketch kinds; a group whose cells mix kinds (or, for HLL,
+serves all nine sketch kinds; a group whose cells mix kinds (or, for HLL,
 precisions — mirroring the equal-m check at HyperLogLog.cs:740-744)
 raises rather than merging garbage.
 
@@ -35,7 +35,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .engine.aggregate import SKETCH_COL, _group_field, _isna, _to_arrow
-from .sketch import bloom, cms, codec, hll, kll, tdigest, theta
+from .sketch import (
+    bloom,
+    cbf,
+    cms,
+    codec,
+    countsketch,
+    fd,
+    hll,
+    kll,
+    tdigest,
+    theta,
+)
 
 __all__ = ["merge_sketches", "hll_rollup", "quantiles_rollup"]
 
@@ -46,6 +57,9 @@ _MERGERS = {
     codec.KIND_KLL: kll.merge_many,
     codec.KIND_TDIGEST: tdigest.merge_many,
     codec.KIND_THETA: theta.union_many,
+    codec.KIND_COUNTSKETCH: countsketch.merge_many,
+    codec.KIND_CBF: cbf.merge_many,
+    codec.KIND_FD: fd.merge_many,
 }
 
 

@@ -146,9 +146,12 @@ def theta_distinct(
 def theta_estimate_udf(sketches):
     import pandas as pd
 
+    # Nullable extension dtype: NULL sketches (e.g. theta_intersect over a
+    # left join's missing side) must map to NULL estimates, and the plain
+    # "int64" constructor raises TypeError on None.
     return pd.Series(
         [None if s is None else theta.estimate(bytes(s)) for s in sketches],
-        dtype="int64",
+        dtype="Int64",
     )
 
 

@@ -97,6 +97,10 @@ def _serialize(d: int, log2_w: int, n: int, tbl: np.ndarray) -> bytes:
 def empty(d: int = DEFAULT_D, log2_w: int = DEFAULT_LOG2_W) -> bytes:
     if not 1 <= d <= 16:
         raise ValueError(f"d must be in [1, 16], got {d}")
+    if d % 2 == 0:
+        # The estimators take the exact middle order statistic; an even d
+        # would silently pick the upper-middle and bias estimates upward.
+        raise ValueError(f"d must be odd (median over rows), got {d}")
     if not 4 <= log2_w <= 26:
         raise ValueError(f"log2_w must be in [4, 26], got {log2_w}")
     return pack_header(KIND_COUNTSKETCH) + _HDR.pack(d, log2_w, MODE_SPARSE, 0)
@@ -133,6 +137,7 @@ def from_hashes(
     log2_w: int = DEFAULT_LOG2_W,
 ) -> bytes:
     """Build from hashed values; ``counts`` (default all-1) weights each."""
+    empty(d, log2_w)  # validate (d odd, ranges) before building
     h = np.ascontiguousarray(hashes, dtype=np.uint64)
     if counts is None:
         h, counts = np.unique(h, return_counts=True)
@@ -165,13 +170,17 @@ def merge_many(sketches) -> bytes:
 
 def point_query(sketch: bytes, hashes: np.ndarray) -> np.ndarray:
     """Unbiased count estimate per hashed value: median over rows of
-    sign_j * counter[j][pos_j] -> int64[n] (exact middle order statistic,
-    d odd by default)."""
+    sign_j * counter[j][pos_j] -> int64[n].  ``empty()`` enforces odd d so
+    this is the exact middle order statistic; a foreign even-d sketch gets
+    the floor-mean of the two middles rather than an upward-biased
+    upper-middle."""
     d, log2_w, _ = params(sketch)
     tbl = table(sketch)
     pos, signs = positions_signs(hashes, d, log2_w)
-    ests = signs * tbl[np.arange(d)[:, None], pos]      # (d, n)
-    return np.sort(ests, axis=0)[d // 2]
+    ests = np.sort(signs * tbl[np.arange(d)[:, None], pos], axis=0)  # (d, n)
+    if d % 2 == 1:
+        return ests[d // 2]
+    return (ests[d // 2 - 1] + ests[d // 2]) // 2
 
 
 def f2_estimate(sketch: bytes) -> int:
@@ -181,7 +190,9 @@ def f2_estimate(sketch: bytes) -> int:
     d, _, _ = params(sketch)
     tbl = table(sketch)
     row_sums = np.sort((tbl.astype(object) ** 2).sum(axis=1))
-    return int(row_sums[d // 2])
+    if d % 2 == 1:
+        return int(row_sums[d // 2])
+    return int((row_sums[d // 2 - 1] + row_sums[d // 2]) // 2)
 
 
 def f2_relative_error(sketch: bytes) -> float:
