@@ -1776,7 +1776,29 @@ def q_asof_join_purchase_view(spark, sf_dir):
     ).orderBy("event_id")
 
 
+# Ordering policy: the driver's correctness gate checks the FIRST 50
+# registry entries only. Queries that have never been driver-verified
+# (new this round, or beyond the window in earlier rounds) are listed
+# FIRST; queries already green in a past CORRECTNESS_r*.json fill the
+# remainder and overflow past position 50, where the local
+# scripts/check_entry.py run (identical harness) still covers them.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-verified before round 4 (r3 window miss) --
+    "streaming_distinct_event_users": q_streaming_distinct_event_users,
+    "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
+    "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
+    "cms_weighted_topk_partkeys": q_cms_weighted_topk_partkeys,
+    "countsketch_f2_event_types": q_countsketch_f2_event_types,
+    "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
+    "curate_documents": q_curate_documents,
+    "text_repetition_stats": q_text_repetition_stats,
+    "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
+    "theta_distinct_by_priority": q_theta_distinct_by_priority,
+    "asof_join_purchase_view": q_asof_join_purchase_view,
+    "ngram_contamination_documents": q_ngram_contamination_documents,
+    "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
+    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
     "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
@@ -1828,28 +1850,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
-    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
-    "streaming_distinct_event_users": q_streaming_distinct_event_users,
-    "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "sample_documents": q_sample_documents,
     "sample_stratified_by_lang": q_sample_stratified_by_lang,
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
-    "text_repetition_stats": q_text_repetition_stats,
-    "curate_documents": q_curate_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_features": q_multimodal_features,
-    "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
-    "theta_distinct_by_priority": q_theta_distinct_by_priority,
-    "asof_join_purchase_view": q_asof_join_purchase_view,
-    "ngram_contamination_documents": q_ngram_contamination_documents,
-    "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
-    "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
-    "cms_weighted_topk_partkeys": q_cms_weighted_topk_partkeys,
-    "countsketch_f2_event_types": q_countsketch_f2_event_types,
-    "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
 }
 
 _ORACLES: dict[str, str] = {
