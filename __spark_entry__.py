@@ -463,6 +463,51 @@ def q_tdigest_weighted_price_quantiles(spark, sf_dir):
     ).orderBy("q_permille")
 
 
+def q_kll_weighted_price_quantiles(spark, sf_dir):
+    """Weighted KLL quantiles — the KLL mirror of the weighted t-digest
+    contract (each price carries l_quantity units of mass via exact
+    binary-decomposition placement: a weight-w row enters level h once per
+    set bit of w, so no sampling error comes from the weighting itself).
+    VALIDITY-HARNESS oracle, same shape as tdigest_weighted: output is
+    (q_permille, exact_q, est_in_bound) with eps = 1/32 rank slack (KLL
+    k=200 rank error ~1.65% whp < 3.125%). The exact side's single-task
+    Window is verification cost only; the sketch path ships level arrays."""
+    from pyspark.sql import Window
+
+    from hyperloglog_spark import approx_quantiles_weighted
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = approx_quantiles_weighted(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75], method="kll"
+    ).collect()[0]
+    ests = {250: est["q25"], 500: est["q5"], 750: est["q75"]}
+
+    total = li.agg(F.sum("l_quantity")).collect()[0][0]
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(w).alias("cw"),
+    )
+    eps = 1.0 / 32.0
+    aggs = []
+    for qpm in (250, 500, 750):
+        q = qpm / 1000.0
+        for tag, qq in (("lo", q - eps), ("mid", q), ("hi", q + eps)):
+            aggs.append(
+                F.min(F.when(F.col("cw") >= F.lit(qq) * F.lit(float(total)),
+                             F.col("p"))).alias(f"{tag}_{qpm}")
+            )
+    ex = cum.agg(*aggs).collect()[0]
+    rows = []
+    for qpm in (250, 500, 750):
+        in_bound = bool(ex[f"lo_{qpm}"] <= ests[qpm] <= ex[f"hi_{qpm}"])
+        rows.append((qpm, float(ex[f"mid_{qpm}"]), in_bound))
+    return spark.createDataFrame(
+        rows, "q_permille bigint, exact_q double, est_in_bound boolean"
+    ).orderBy("q_permille")
+
+
 def q_fd_gram_by_label(spark, sf_dir):
     """Grouped Frequent Directions: one Gram sketch per label via the
     two-phase grouped pipeline, reduced to the trace (= sum of squared
@@ -1798,6 +1843,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_contamination_documents": q_ngram_contamination_documents,
     "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
     "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    # -- new in round 4 --
+    "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2404,6 +2451,20 @@ FROM rerank
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "kll_weighted_price_quantiles": """
+WITH cum AS (
+  SELECT l_extendedprice AS p,
+         sum(l_quantity) OVER (ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+), tot AS (SELECT sum(l_quantity) AS w FROM lineitem)
+SELECT q.q_permille,
+       (SELECT min(p) FROM cum, tot
+        WHERE cw >= (q.q_permille / 1000.0) * tot.w) AS exact_q,
+       TRUE AS est_in_bound
+FROM (VALUES (250), (500), (750)) q(q_permille)
+ORDER BY q.q_permille
 """,
     "tdigest_weighted_price_quantiles": """
 WITH cum AS (

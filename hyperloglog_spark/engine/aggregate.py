@@ -235,14 +235,80 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
     return to_arrow_type(dt)
 
 
+def premerged_sketch(
+    df: DataFrame,
+    value_cols: list[str],
+    agg: SketchAggregator,
+    fan_in: int = 32,
+) -> DataFrame:
+    """Distributed tree-merge of the phase-1 partials down to ONE sketch row.
+
+    Phase 1 emits one partial per scan partition; at 100 TB that is 1e5-1e6
+    rows, and for byte-heavy sketches (a billion-key Bloom partial is ~1 GiB)
+    a driver collect() of all of them is a genuine memory cliff. Instead the
+    partials are reduced on the cluster in ``ceil(log_fan_in(P))`` grouped
+    levels: each level buckets CONTIGUOUS runs of ``fan_in`` partials
+    (``bucket = origin // fan_in``) and merges each bucket sorted by origin,
+    so the whole tree is a pure RE-BRACKETING of the sequential left-to-right
+    merge — byte-identical for every sketch kind with the re-bracketing law
+    (HLL/CMS/Bloom/CBF/Count-Sketch/theta/KMV: exact monoids; KLL/t-digest:
+    shuffled-merge byte-identity is tested; FD: identical in the exact regime,
+    certificate-lawful otherwise). No level's task ever holds more than
+    ``fan_in`` partials, and the driver materializes exactly one row."""
+    partials = sketch_partials(df, value_cols, agg)
+    # upper bound on partial rows (empty partitions emit no row)
+    n = partials.rdd.getNumPartitions()
+    merge_many = agg.merge_many
+    schema = T.StructType(
+        [
+            T.StructField("__b", T.LongType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+
+    def merge_bucket(pdf):
+        import pandas as pd
+
+        # sort by origin index -> the bucket merge replays left-to-right
+        # order; the emitted row takes the (dense, order-preserving) bucket
+        # index as its new origin so the next level buckets contiguously
+        ordered = pdf.sort_values("__b")
+        return pd.DataFrame(
+            {
+                "__b": [int(ordered["__g"].iloc[0])],
+                SKETCH_COL: [merge_many(list(ordered[SKETCH_COL]))],
+            }
+        )
+
+    level = partials.select(
+        F.spark_partition_id().cast("long").alias("__b"), F.col(SKETCH_COL)
+    )
+    while n > fan_in:
+        # contiguous runs of fan_in origins -> one bucket
+        level = (
+            level.withColumn("__g", F.floor(F.col("__b") / F.lit(int(fan_in))))
+            .groupBy("__g")
+            .applyInPandas(merge_bucket, schema)
+        )
+        n = -(-n // fan_in)
+    return (
+        level.withColumn("__g", F.lit(0).cast("long"))
+        .groupBy("__g")
+        .applyInPandas(merge_bucket, schema)
+        .select(SKETCH_COL)
+    )
+
+
 def collect_merged(
     df: DataFrame,
     value_cols: list[str],
     agg: SketchAggregator,
+    fan_in: int = 32,
 ) -> bytes:
-    """Driver-side variant: build partials distributed, tree-merge locally.
-    Returns the merged sketch bytes (useful for estimate-at-driver flows)."""
-    rows = sketch_partials(df, value_cols, agg).collect()
+    """Driver-side variant: build partials distributed, tree-merge them ON THE
+    CLUSTER (see premerged_sketch), collect exactly one row. O(sketch_size)
+    driver memory at any partition count."""
+    rows = premerged_sketch(df, value_cols, agg, fan_in=fan_in).collect()
     if not rows:
         raise ValueError("no input rows")
-    return agg.merge_many([r[SKETCH_COL] for r in rows])
+    return rows[0][SKETCH_COL]

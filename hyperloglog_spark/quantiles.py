@@ -22,6 +22,7 @@ from .sketch import kll, tdigest
 __all__ = [
     "KllAggregator",
     "TDigestAggregator",
+    "WeightedKllAggregator",
     "WeightedTDigestAggregator",
     "approx_quantiles",
     "approx_quantiles_weighted",
@@ -136,20 +137,72 @@ class WeightedTDigestAggregator(_QuantileAggregator):
         ]
 
 
+class WeightedKllAggregator(_QuantileAggregator):
+    """KLL over (value, weight) rows with INTEGER weights: the mirror of
+    WeightedTDigestAggregator on the KLL backend. A weight-w row enters
+    level h once for every set bit of w (level-h items carry weight 2^h),
+    so the mass placement is exact; all-ones weights are byte-identical to
+    the unweighted build, and the codec/merge/estimator are the plain KLL
+    ones (a weighted sketch merges with an unweighted one)."""
+
+    name = "kll_weighted"
+    module = kll
+
+    def __init__(self, qs: list[float] | None = None,
+                 weight_col: str = "weight", **params):
+        super().__init__(qs, **params)
+        self.weight_col = weight_col
+
+    def prepare_columns(self, df: DataFrame, cols: list[str]):
+        if len(cols) != 1:
+            raise ValueError("quantile sketches take exactly one column")
+        return [
+            F.col(cols[0]).cast("double"),
+            F.col(self.weight_col).cast("double"),
+        ]
+
+    def build_grouped(self, codes, values, n_groups) -> list[bytes]:
+        varr, warr = values.values()
+        vals = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ws = warr.to_numpy(zero_copy_only=False).astype(np.float64)
+        k = self.params.get("k", kll.DEFAULT_K)
+        if n_groups == 1:
+            return [kll.from_weighted(vals, ws, k)]
+        order = np.argsort(codes, kind="stable")
+        sc, sv, sw = codes[order], vals[order], ws[order]
+        bounds = np.searchsorted(sc, np.arange(n_groups + 1))
+        return [
+            kll.from_weighted(
+                sv[bounds[g]: bounds[g + 1]], sw[bounds[g]: bounds[g + 1]], k
+            )
+            for g in range(n_groups)
+        ]
+
+
 def approx_quantiles_weighted(
     df: DataFrame,
     col: str,
     weight_col: str,
     qs: list[float],
     group_by: str | list[str] | None = None,
+    method: str = "tdigest",
     **params,
 ) -> DataFrame:
-    """Weighted approximate quantiles (t-digest): each row contributes
-    ``weight_col`` units of mass. The curation-pipeline form: quantiles of
-    the ORIGINAL corpus computed from the deduplicated representatives and
-    their n_copies — without re-exploding the duplicates."""
+    """Weighted approximate quantiles: each row contributes ``weight_col``
+    units of mass. The curation-pipeline form: quantiles of the ORIGINAL
+    corpus computed from the deduplicated representatives and their
+    n_copies — without re-exploding the duplicates. method='tdigest'
+    (default) takes arbitrary positive weights; method='kll' requires
+    integer weights (exact binary-decomposition placement)."""
     group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    agg = WeightedTDigestAggregator(qs, weight_col=weight_col, **params)
+    if method == "tdigest":
+        agg: _QuantileAggregator = WeightedTDigestAggregator(
+            qs, weight_col=weight_col, **params
+        )
+    elif method == "kll":
+        agg = WeightedKllAggregator(qs, weight_col=weight_col, **params)
+    else:
+        raise ValueError(f"method must be 'kll' or 'tdigest', got {method!r}")
     return sketch_agg(
         _drop_null_rows(df, [col, weight_col]), [col], agg, group_by
     )

@@ -143,6 +143,56 @@ def update(sketch: bytes, values: np.ndarray) -> bytes:
     return _serialize(st)
 
 
+def from_weighted(values: np.ndarray, weights: np.ndarray,
+                  k: int = DEFAULT_K) -> bytes:
+    return update_weighted(empty(k), values, weights)
+
+
+def update_weighted(sketch: bytes, values: np.ndarray,
+                    weights: np.ndarray) -> bytes:
+    """Weighted ingest: each value carries an INTEGER copy count ``w >= 1``
+    (the dedup-pipeline form: quantiles of the original corpus from its
+    deduplicated representatives and their n_copies, without re-exploding).
+
+    Placement is the binary decomposition of w: a level-h item carries
+    weight 2^h by the KLL invariant, so inserting the value once into every
+    level h with bit h set in w adds EXACTLY w units of mass — no sampling
+    error is introduced by the weighting itself (unlike a compaction, which
+    halves a sorted buffer). Rows with NaN values or NaN/non-positive
+    weights are dropped (mirrors the weighted t-digest); non-integral
+    weights raise. All-ones weights produce bytes IDENTICAL to ``update``:
+    the level-0 feed, n accounting, and compaction offsets coincide."""
+    st = _deserialize(sketch)
+    vals = np.asarray(values, dtype=np.float64)
+    ws = np.asarray(weights, dtype=np.float64)
+    if len(ws) != len(vals):
+        raise ValueError("values and weights must align")
+    keep = ~np.isnan(vals) & ~np.isnan(ws) & (ws > 0)
+    vals, ws = vals[keep], ws[keep]
+    if np.any(ws != np.floor(ws)):
+        raise ValueError("kll weights must be positive integers")
+    w64 = ws.astype(np.int64)
+    if len(vals) == 0:
+        return bytes(sketch)
+    st.vmin = min(st.vmin, float(vals.min()))
+    st.vmax = max(st.vmax, float(vals.max()))
+    if not st.levels:
+        st.levels = [np.empty(0, dtype=np.float64)]
+    chunk = max(_cap(st.k, 0, len(st.levels)), 1 << 16)
+    for i in range(0, len(vals), chunk):
+        pv, pw = vals[i: i + chunk], w64[i: i + chunk]
+        top = int(pw.max()).bit_length()
+        while len(st.levels) < top:
+            st.levels.append(np.empty(0, dtype=np.float64))
+        for h in range(top):
+            sel = pv[(pw >> h) & 1 == 1]
+            if len(sel):
+                st.levels[h] = np.concatenate([st.levels[h], sel])
+        st.n += int(pw.sum())
+        _compact(st)
+    return _serialize(st)
+
+
 def merge_many(sketches) -> bytes:
     """Multiset merge: order-independent by construction."""
     sketches = [s for s in sketches if s is not None]

@@ -205,3 +205,105 @@ class TestWeightedTDigest:
         ).collect()
         assert len(out) == li.select("l_returnflag").distinct().count()
         assert all(r["q5"] is not None for r in out)
+
+
+class TestWeightedKll:
+    """Weighted KLL (binary-decomposition placement): the KLL mirror of the
+    weighted t-digest contract — unit weights byte-identical to the plain
+    build, integer weights equivalent to exploded rows (exactly in the
+    no-compaction regime, within rank error beyond), deterministic."""
+
+    def test_unit_weights_match_plain_build(self):
+        from hyperloglog_spark.sketch import kll
+
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(5000)
+        assert kll.from_weighted(vals, np.ones(5000)) == kll.from_values(vals)
+
+    def test_exact_regime_equals_exploded(self):
+        """Below compaction thresholds both paths are exact, so every
+        quantile matches the exploded build exactly."""
+        from hyperloglog_spark.sketch import kll
+
+        vals = np.array([1.0, 5.0, 2.0, 9.0])
+        w = np.array([3.0, 1.0, 4.0, 2.0])
+        wsk = kll.from_weighted(vals, w)
+        esk = kll.from_values(np.repeat(vals, w.astype(int)))
+        assert kll.n_items(wsk) == 10
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        assert np.array_equal(kll.quantiles(wsk, qs), kll.quantiles(esk, qs))
+
+    def test_weighted_equals_exploded_rows_rank(self):
+        from hyperloglog_spark.sketch import kll
+
+        rng = np.random.default_rng(13)
+        vals = rng.standard_normal(2000)
+        w = rng.integers(1, 50, size=2000).astype(np.float64)
+        sk = kll.from_weighted(vals, w)
+        order = np.argsort(vals)
+        sv, sw = vals[order], w[order]
+        cum = np.cumsum(sw)
+        total = cum[-1]
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            est = float(kll.quantiles(sk, [q])[0])
+            rank = cum[np.searchsorted(sv, est, side="right") - 1] / total \
+                if est >= sv[0] else 0.0
+            assert abs(rank - q) <= 0.03, (q, est, rank)
+
+    def test_deterministic_and_merges_with_unweighted(self):
+        from hyperloglog_spark.sketch import kll
+
+        rng = np.random.default_rng(17)
+        vals = rng.standard_normal(3000)
+        w = rng.integers(1, 20, size=3000).astype(np.float64)
+        assert kll.from_weighted(vals, w) == kll.from_weighted(vals, w)
+        merged = kll.merge_many(
+            [kll.from_weighted(vals, w), kll.from_values(vals)]
+        )
+        assert kll.n_items(merged) == int(w.sum()) + 3000
+
+    def test_non_integer_weight_raises(self):
+        from hyperloglog_spark.sketch import kll
+
+        with pytest.raises(ValueError, match="integer"):
+            kll.from_weighted(np.array([1.0]), np.array([1.5]))
+
+    def test_zero_and_nan_weights_dropped(self):
+        from hyperloglog_spark.sketch import kll
+
+        sk = kll.from_weighted(
+            np.array([1.0, 2.0, np.nan, 4.0]),
+            np.array([1.0, 0.0, 3.0, np.nan]),
+        )
+        assert kll.n_items(sk) == 1
+        assert float(kll.quantiles(sk, [0.5])[0]) == 1.0
+
+    def test_spark_weighted_kll(self, spark):
+        from hyperloglog_spark import approx_quantiles_weighted
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        out = approx_quantiles_weighted(
+            li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75],
+            method="kll",
+        ).collect()[0]
+        rows = li.select("l_extendedprice", "l_quantity").collect()
+        vals = np.array([r[0] for r in rows], dtype=np.float64)
+        ws = np.array([float(r[1]) for r in rows])
+        order = np.argsort(vals)
+        sv, cum = vals[order], np.cumsum(ws[order])
+        total = cum[-1]
+        for q, name in ((0.25, "q25"), (0.5, "q5"), (0.75, "q75")):
+            est = out[name]
+            rank = cum[np.searchsorted(sv, est, side="right") - 1] / total
+            assert abs(rank - q) <= 0.03, (q, est, rank)
+
+    def test_spark_grouped_weighted_kll(self, spark):
+        from hyperloglog_spark import approx_quantiles_weighted
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        out = approx_quantiles_weighted(
+            li, "l_extendedprice", "l_quantity", [0.5],
+            group_by="l_returnflag", method="kll",
+        ).collect()
+        assert len(out) == li.select("l_returnflag").distinct().count()
+        assert all(r["q5"] is not None for r in out)

@@ -131,3 +131,51 @@ class TestSketchColumn:
         merged = hll.merge_many([r["sketch"] for r in per_group.collect()])
         global_sk = hll_merged_sketch(events, "user_id")
         assert merged == global_sk
+
+
+class TestDistributedPreMerge:
+    """collect_merged must never materialize O(#partitions) rows on the
+    driver: the partials tree-reduce ON THE CLUSTER (contiguous buckets of
+    fan_in, order-preserving) and the driver collects exactly one row.
+    The tree is a pure re-bracketing of the sequential left-to-right fold,
+    so the result is byte-identical (register-max monoid / shuffled-merge
+    laws)."""
+
+    def test_tree_merge_byte_identical_to_sequential_fold(self, events):
+        from hyperloglog_spark.engine.aggregate import (
+            collect_merged,
+            sketch_partials,
+        )
+        from hyperloglog_spark.functions import HllAggregator
+
+        agg = HllAggregator(p=14)
+        wide = events.repartition(40)
+        rows = sketch_partials(wide, ["user_id"], agg).collect()
+        sequential = agg.merge_many([r["sketch"] for r in rows])
+        tree = collect_merged(wide, ["user_id"], agg, fan_in=4)
+        assert tree == sequential
+
+    def test_driver_sees_one_row_at_any_partition_count(self, events):
+        from hyperloglog_spark.engine.aggregate import premerged_sketch
+        from hyperloglog_spark.functions import HllAggregator
+
+        agg = HllAggregator(p=14)
+        for n_parts, fan_in, want_levels in [(40, 4, 3), (8, 32, 1)]:
+            one = premerged_sketch(
+                events.repartition(n_parts), ["user_id"], agg, fan_in=fan_in
+            )
+            plan = one._jdf.queryExecution().executedPlan().toString()
+            # ceil(log_fan_in(P)) grouped-merge levels incl. the final one:
+            # each task holds <= fan_in partials regardless of P
+            assert plan.count("FlatMapGroupsInPandas") == want_levels
+            collected = one.collect()
+            assert len(collected) == 1
+
+    def test_builders_inherit_premerge(self, events, spark):
+        """bloom/cbf/fd builders ride collect_merged: high partition count
+        must not change their output."""
+        from hyperloglog_spark.membership import bloom_build
+
+        narrow = bloom_build(events.coalesce(2), "user_id", expected_items=20_000)
+        wide = bloom_build(events.repartition(37), "user_id", expected_items=20_000)
+        assert narrow == wide  # bitset OR is a commutative monoid
