@@ -1182,6 +1182,41 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_stats(spark, sf_dir):
+    """REAL image decode, no codec library: deterministic PPM (even doc_ids)
+    and 24-bit BMP (odd doc_ids) payloads with pixel byte j = (id*31+j)%256
+    on a 4x3 RGB grid, decoded by the pure-numpy parsers (header parse, BMP
+    row padding, bottom-up flip, BGR swap) via the same extract_features
+    mapInPandas plumbing as the stubbed path. Output stats are
+    order-independent exact integers, so one SQL replay of the generator
+    covers both formats hash-exactly."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_pixel_stats, extract_features, synthesize_image_assets,
+    )
+
+    assets = synthesize_image_assets(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
+    feats = extract_features(assets, decoder=decoded_pixel_stats)
+    f = F.col("features")
+    return (
+        feats.select(
+            "asset_id",
+            F.when(F.col("asset_id") % 2 == 0, F.lit("ppm"))
+            .otherwise(F.lit("bmp")).alias("fmt"),
+            "n_bytes",
+            f[5].cast("bigint").alias("width"),
+            f[6].cast("bigint").alias("height"),
+            f[7].cast("bigint").alias("channels"),
+            f[1].cast("bigint").alias("pixel_sum"),
+            f[2].cast("bigint").alias("pixel_sqsum"),
+            f[3].cast("bigint").alias("pix_min"),
+            f[4].cast("bigint").alias("pix_max"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 def q_orders_per_priority(spark, sf_dir):
     """Exact composition query (engine + oracle plumbing sanity)."""
     return (
@@ -1845,6 +1880,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
     # -- new in round 4 --
     "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
+    "multimodal_decode_stats": q_multimodal_decode_stats,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -3004,6 +3040,22 @@ SELECT doc_id, n_tokens, stop_permille, punct_permille, ttr_permille,
          + ttr_permille / 5 - least(punct_permille, 300)) AS BIGINT),
          1000), 0) AS score
 FROM pm ORDER BY doc_id
+""",
+    "multimodal_decode_stats": """
+WITH px AS (
+  SELECT doc_id, ((doc_id * 31 + r.i) % 256) AS v
+  FROM documents, range(36) r(i)
+)
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 47 ELSE 90 END AS BIGINT) AS n_bytes,
+       CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(sum(v * v) AS BIGINT) AS pixel_sqsum,
+       CAST(min(v) AS BIGINT) AS pix_min,
+       CAST(max(v) AS BIGINT) AS pix_max
+FROM px GROUP BY doc_id ORDER BY asset_id
 """,
     "multimodal_features":
         "SELECT doc_id AS asset_id, "

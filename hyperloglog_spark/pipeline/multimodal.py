@@ -68,6 +68,39 @@ def synthesize_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_image_assets(
+    df: DataFrame, id_col: str, width: int = 4, height: int = 3
+) -> DataFrame:
+    """Deterministic REAL image payloads from an id column (tests/queries):
+    pixel byte j of asset i is ``(i*31 + j) % 256`` on an (height, width, 3)
+    RGB grid; even ids encode as binary PPM (P6), odd ids as 24-bit BI_RGB
+    BMP. Both formats hold the same pixel multiset, so order-independent
+    stats (sum/sqsum/min/max) verify against ONE SQL replay of the
+    generator while the decoder exercises real header parsing, BMP row
+    padding, bottom-up flip, and BGR swap."""
+    n = width * height * 3
+
+    def build(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in chunks:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for i in ids:  # fixture synthesis, not an operator hot path
+                px = (int(i) * 31 + np.arange(n, dtype=np.int64)) % 256
+                arr = px.astype(np.uint8).reshape(height, width, 3)
+                payloads.append(
+                    encode_ppm(arr) if i % 2 == 0 else encode_bmp(arr)
+                )
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "kind": ["image"] * len(ids),
+                "payload": payloads,
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, "asset_id bigint, kind string, payload binary"
+    )
+
+
 def _input_files_bytes(df: DataFrame) -> int | None:
     """Total size of the DataFrame's input files from FILE METADATA — a
     listing via the Hadoop FileSystem API, never a data scan. None when the
@@ -130,39 +163,154 @@ def _try_pil():
         return None
 
 
-def decode_image(payload: bytes, codec: str = "png") -> np.ndarray:
+# -- pure-numpy codecs for the two public UNCOMPRESSED formats ------------
+# (Netpbm P5/P6, Windows BMP 24-bit BI_RGB). These make decode_image real
+# without PIL: ~uncompressed is what a curation pipeline stages anyway, and
+# the parse is pure byte slicing — no external library, no per-pixel Python.
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> binary PPM (P6) / PGM (P5)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # header = 3 whitespace-separated tokens (width height maxval) after the
+    # magic, with '#' comments legal anywhere between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end: end + 1].isspace():
+            end += 1
+        tokens.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace byte terminates the header
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit Netpbm supported, maxval={maxval}")
+    n = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape((h, w, 3) if channels == 3 else (h, w)).copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed (BI_RGB) BMP:
+    bottom-up rows, BGR byte order, rows padded to 4 bytes."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"BMP encoder takes (h,w,3), got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+    data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                    2835, 2835, 0, 0)
+    return header + data
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def decode_image(payload: bytes, codec: str | None = None) -> np.ndarray:
     """Decode an image payload to an (h, w[, c]) uint8 array.
 
-    Import-guarded seam (VERDICT r2 #8): uses PIL when the cluster has it
-    — the stub retires automatically — and raises the documented
-    ``NotImplementedError`` where no codec library exists (this sandbox).
-    The mapInPandas plumbing in ``extract_features(..., decoder=...)`` is
-    unchanged either way.
-    """
+    Uncompressed public formats (Netpbm P5/P6, 24-bit BI_RGB BMP) decode
+    with the built-in pure-numpy parsers — no library needed, so the old
+    sandbox stub is retired. Anything else (PNG/JPEG/...) routes through
+    the import-guarded PIL seam (VERDICT r2 #8) and raises the documented
+    ``NotImplementedError`` where no codec library exists. The mapInPandas
+    plumbing in ``extract_features(..., decoder=...)`` is the same for
+    every path."""
+    magic = bytes(payload[:2])
+    if magic in (b"P5", b"P6"):
+        return _decode_ppm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
     Image = _try_pil()
     if Image is None:
         raise NotImplementedError(
-            "image decoding requires PIL/libvips (not in this sandbox); "
-            "pass decoder=fake_decode_features or install a codec library"
+            "compressed-image decoding requires PIL/libvips (not in this "
+            "sandbox); use PPM/PGM/BMP payloads, pass "
+            "decoder=fake_decode_features, or install a codec library"
         )
     import io
 
     return np.asarray(Image.open(io.BytesIO(payload)))
 
 
-def pil_decode_features(payloads: pd.Series) -> np.ndarray:
-    """Real-decoder counterpart of ``fake_decode_features`` (available only
-    where PIL is installed): per-image (n_bytes, mean, std, min, max,
-    width, height, channels) — the same FEATURE_DIM shape, so it drops
-    into ``extract_features(decoder=...)`` unchanged."""
-    if _try_pil() is None:
-        raise NotImplementedError("pil_decode_features requires PIL")
+def decode_features(payloads: pd.Series) -> np.ndarray:
+    """Real-decoder counterpart of ``fake_decode_features``: per-image
+    (n_bytes, mean, std, min, max, width, height, channels) — the same
+    FEATURE_DIM shape, so it drops into ``extract_features(decoder=...)``
+    unchanged. Decodes PPM/PGM/BMP with the built-in numpy parsers;
+    compressed formats need PIL (import-guarded in decode_image)."""
     out = np.empty((len(payloads), FEATURE_DIM))
     for i, p in enumerate(payloads):
         img = decode_image(p)
         flat = img.reshape(-1).astype(np.float64)
         out[i] = [
             len(p), flat.mean(), flat.std(), flat.min(), flat.max(),
+            img.shape[1], img.shape[0],
+            img.shape[2] if img.ndim == 3 else 1,
+        ]
+    return out
+
+
+# back-compat alias (the PIL requirement is now per-payload, not global)
+pil_decode_features = decode_features
+
+
+def decoded_pixel_stats(payloads: pd.Series) -> np.ndarray:
+    """Integer-exact decode stats for oracle verification: per image
+    (n_bytes, pixel_sum, pixel_sqsum, min, max, width, height, channels).
+    Every value is an integer exactly representable in float64, so a SQL
+    replay of the pixel generator hash-matches bit-for-bit."""
+    out = np.empty((len(payloads), FEATURE_DIM))
+    for i, p in enumerate(payloads):
+        img = decode_image(p)
+        flat = img.reshape(-1).astype(np.int64)
+        out[i] = [
+            len(p), int(flat.sum()), int((flat * flat).sum()),
+            int(flat.min()), int(flat.max()),
             img.shape[1], img.shape[0],
             img.shape[2] if img.ndim == 3 else 1,
         ]

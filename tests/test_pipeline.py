@@ -1405,3 +1405,77 @@ def test_pq_stored_residual_index_matches_full_probe_ivfadc(spark):
                        codebooks=cb, nprobe=8, refine=False,
                        residual=True).collect()
     assert sorted(map(tuple, stored)) == sorted(map(tuple, live))
+
+
+# ------------------------------------------- numpy image codecs (round 4)
+
+
+def test_ppm_pgm_roundtrip_and_comments():
+    """Pure-numpy Netpbm codec: encode/decode round-trips bit-exactly for
+    P6 color and P5 gray, including odd widths and header comments."""
+    from hyperloglog_spark.pipeline.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(3)
+    color = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(color)), color)
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(gray)), gray)
+    enc = encode_ppm(color)
+    commented = (b"P6\n# a comment\n5 7\n# another\n255\n"
+                 + enc[enc.index(b"255\n") + 4:])
+    assert np.array_equal(decode_image(commented), color)
+
+
+def test_bmp_roundtrip_padding_and_flip():
+    """24-bit BI_RGB BMP codec: row padding (w=5 -> stride 16), bottom-up
+    storage, and BGR order all undone on decode."""
+    from hyperloglog_spark.pipeline.multimodal import decode_image, encode_bmp
+
+    rng = np.random.default_rng(5)
+    padded = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(padded)), padded)
+    aligned = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(aligned)), aligned)
+    # corner pixel sanity: encoded first data row is the BOTTOM image row
+    # in BGR; decode must restore arr[0,0] = RGB of the top-left pixel
+    enc = encode_bmp(padded)
+    assert enc[54:57] == bytes(padded[-1, 0, ::-1])
+
+
+def test_bmp_rejects_unsupported():
+    from hyperloglog_spark.pipeline.multimodal import _decode_bmp, encode_bmp
+
+    enc = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    enc[28] = 8  # bpp=8
+    with pytest.raises(ValueError, match="24-bit"):
+        _decode_bmp(bytes(enc))
+
+
+def test_compressed_formats_still_guarded():
+    """PNG/JPEG still route through the import-guarded PIL seam."""
+    from hyperloglog_spark.pipeline.multimodal import _try_pil, decode_image
+
+    if _try_pil() is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_real_decode_through_spark_plumbing(docs):
+    """End-to-end REAL decode (no codec library): deterministic PPM/BMP
+    assets -> extract_features(decoder=decoded_pixel_stats) -> exact
+    integer stats matching the pixel generator."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_pixel_stats, extract_features, synthesize_image_assets,
+    )
+
+    assets = synthesize_image_assets(docs.limit(60), "doc_id")
+    rows = extract_features(assets, decoder=decoded_pixel_stats).collect()
+    assert len(rows) == 60
+    for r in rows[:20]:
+        i = r["asset_id"]
+        px = (i * 31 + np.arange(36, dtype=np.int64)) % 256
+        f = r["features"]
+        assert r["n_bytes"] == (47 if i % 2 == 0 else 90)
+        assert f[1] == px.sum() and f[2] == (px * px).sum()
+        assert f[3] == px.min() and f[4] == px.max()
+        assert (f[5], f[6], f[7]) == (4.0, 3.0, 3.0)
