@@ -276,6 +276,26 @@ def main() -> None:
     queries["hll_rollup_convs_by_role"] = lambda: hll_rollup(
         stored, group_by="role")
 
+    # skew evidence (VERDICT r3 #6): grouped HLL over the HOT role key
+    # (role has 4 values; user/assistant absorb ~45% of all turns each —
+    # the Zipf-hot-key shape), salted 32 ways vs unsalted. The two-phase
+    # engine's phase-1 map-side combine bounds per-group shuffle rows at
+    # #partitions either way, so the expected finding is parity (salting
+    # is for EXACT aggs over hot keys, q_salted_hot_key_agg); estimates
+    # are byte-identical both ways (register-max monoid) — asserted in
+    # tests/test_transcripts.py, measured here.
+    from hyperloglog_spark.transcripts import with_salted_key
+
+    queries["hll_hot_role_unsalted"] = lambda: approx_distinct(
+        trans, "text", group_by="role")
+    queries["hll_hot_role_salted"] = lambda: hll_rollup(
+        hll_sketch_agg(
+            with_salted_key(trans, "role", buckets=32, salt_col="text"),
+            "text", group_by=["role", "role__salted"],
+        ),
+        group_by="role",
+    )
+
     timings: dict[str, float] = {}
     for name, make in queries.items():
         best = float("inf")

@@ -355,3 +355,29 @@ def test_conversation_fingerprints_order_and_partition_invariant(spark):
              for r in conversation_fingerprints(
                  df.repartition(7), "conv", "idx", "text").collect()}
     assert got == again
+
+
+def test_salted_grouped_hll_byte_identical(spark):
+    """Salted vs unsalted grouped HLL: the register-max monoid makes the
+    32-way salted rollup byte-identical in its ESTIMATES to the direct
+    grouped sketch (the skew-handling path loses nothing)."""
+    from hyperloglog_spark import approx_distinct, hll_rollup, hll_sketch_agg
+    from hyperloglog_spark.transcripts import with_salted_key
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    plain = {
+        r["event_type"]: r["approx_distinct"]
+        for r in approx_distinct(ev, "user_id", group_by="event_type").collect()
+    }
+    salted = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(
+            hll_sketch_agg(
+                with_salted_key(ev, "event_type", buckets=32,
+                                salt_col="user_id"),
+                "user_id", group_by=["event_type", "event_type__salted"],
+            ),
+            group_by="event_type",
+        ).collect()
+    }
+    assert plain == salted
