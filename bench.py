@@ -182,10 +182,14 @@ def main() -> None:
                     ).alias("embedding"),
                 )
             ),
-            # params pinned to the r02 values so interleaved per-query
-            # comparisons across rounds stay apples-to-apples
+            # sf<=0.1: params pinned to the r02 values so interleaved
+            # per-query comparisons across rounds stay apples-to-apples.
+            # Larger sf: the library defaults (64-bit sigs, 8-bit chunks)
+            # — the r02 pin's 4-bit chunks cap-drop every bucket beyond
+            # ~16k rows and the query degenerates to zero candidates.
             "vec_id", "embedding", threshold_permille=900,
-            nbits=16, max_hamming=3,
+            nbits=(16 if sf <= 0.1 else 64),
+            max_hamming=(3 if sf <= 0.1 else 7),
         ),
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
