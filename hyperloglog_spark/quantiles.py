@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .engine.aggregate import SketchAggregator, collect_merged, sketch_agg
+from .engine.aggregate import SketchAggregator, sketch_agg
 from .functions import _drop_null_rows
 from .sketch import kll, tdigest
 

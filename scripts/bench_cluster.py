@@ -178,10 +178,11 @@ def main() -> None:
 
     def stats_for(nn: int) -> dict:
         recs = by_n[nn]
+        # an engine belongs to the section if ANY recorded run measured it
+        # at both levels (runs may record a single engine via --engines)
         engs = [e for e in ("arrow", "jvm")
-                if all(e in r["2"] for r in recs)] or \
-               sorted({e for r in recs for e in r["2"]})
-        present = lambda e: [r for r in recs if e in r["2"]]
+                if any(e in r["2"] and e in r["8"] for r in recs)]
+        present = lambda e: [r for r in recs if e in r["2"] and e in r["8"]]
         bb = {c: {e: min(r[str(c)][e] for r in present(e))
                   for e in engs} for c in levels}
         sr = {e: max((r["2"][e] / r["8"][e]) / 4 for r in present(e))
