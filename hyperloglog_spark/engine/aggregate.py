@@ -235,18 +235,14 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
     return to_arrow_type(dt)
 
 
-def premerged_sketch(
-    df: DataFrame,
-    value_cols: list[str],
-    agg: SketchAggregator,
+def tree_merge_rows(
+    partials: DataFrame,
+    merge_many: Callable[[list[bytes]], bytes],
     fan_in: int = 32,
 ) -> DataFrame:
-    """Distributed tree-merge of the phase-1 partials down to ONE sketch row.
+    """Tree-reduce a one-sketch-row-per-partition DataFrame to ONE row.
 
-    Phase 1 emits one partial per scan partition; at 100 TB that is 1e5-1e6
-    rows, and for byte-heavy sketches (a billion-key Bloom partial is ~1 GiB)
-    a driver collect() of all of them is a genuine memory cliff. Instead the
-    partials are reduced on the cluster in ``ceil(log_fan_in(P))`` grouped
+    The rows are reduced on the cluster in ``ceil(log_fan_in(P))`` grouped
     levels: each level buckets CONTIGUOUS runs of ``fan_in`` partials
     (``bucket = origin // fan_in``) and merges each bucket sorted by origin,
     so the whole tree is a pure RE-BRACKETING of the sequential left-to-right
@@ -254,11 +250,10 @@ def premerged_sketch(
     (HLL/CMS/Bloom/CBF/Count-Sketch/theta/KMV: exact monoids; KLL/t-digest:
     shuffled-merge byte-identity is tested; FD: identical in the exact regime,
     certificate-lawful otherwise). No level's task ever holds more than
-    ``fan_in`` partials, and the driver materializes exactly one row."""
-    partials = sketch_partials(df, value_cols, agg)
+    ``fan_in`` partials. Returns a DataFrame with the single SKETCH_COL
+    column and at most one row (zero when ``partials`` is empty)."""
     # upper bound on partial rows (empty partitions emit no row)
     n = partials.rdd.getNumPartitions()
-    merge_many = agg.merge_many
     schema = T.StructType(
         [
             T.StructField("__b", T.LongType(), False),
@@ -297,6 +292,23 @@ def premerged_sketch(
         .applyInPandas(merge_bucket, schema)
         .select(SKETCH_COL)
     )
+
+
+def premerged_sketch(
+    df: DataFrame,
+    value_cols: list[str],
+    agg: SketchAggregator,
+    fan_in: int = 32,
+) -> DataFrame:
+    """Distributed tree-merge of the phase-1 partials down to ONE sketch row.
+
+    Phase 1 emits one partial per scan partition; at 100 TB that is 1e5-1e6
+    rows, and for byte-heavy sketches (a billion-key Bloom partial is ~1 GiB)
+    a driver collect() of all of them is a genuine memory cliff — see
+    ``tree_merge_rows`` for the reduction shape and its byte-identity
+    guarantee."""
+    partials = sketch_partials(df, value_cols, agg)
+    return tree_merge_rows(partials, agg.merge_many, fan_in=fan_in)
 
 
 def collect_merged(

@@ -151,13 +151,19 @@ def merge_sketches(
 
     dummy = not group_cols
     if dummy:
-        partials = partials.withColumn("__g", F.lit(1))
-        key_cols = ["__g"]
-        out_schema = T.StructType(
-            [T.StructField("__g", T.IntegerType(), False)] + out_fields
+        # global rollup: tree-reduce the per-partition partials on the
+        # cluster (same shape as the build path's collect_merged fix) —
+        # a single-group merge would funnel one partial per input
+        # partition into ONE task, a cliff for byte-heavy stored cells
+        # (Bloom/CBF) at 10^5+ partitions
+        from .engine.aggregate import tree_merge_rows
+
+        merged = tree_merge_rows(
+            partials,
+            lambda sks: _merge_cells([bytes(s) for s in sks], fold_to),
         )
-    else:
-        key_cols = group_cols
+        return merged.select(F.col(SKETCH_COL).alias(alias))
+    key_cols = group_cols
 
     def merge_group(pdf):
         import pandas as pd
@@ -168,8 +174,6 @@ def merge_sketches(
         return pd.DataFrame(row)
 
     out = partials.groupBy(*key_cols).applyInPandas(merge_group, out_schema)
-    if dummy:
-        out = out.drop("__g")
     return out
 
 

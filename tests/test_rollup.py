@@ -276,3 +276,18 @@ def test_weighted_shards_rollup_matches_exact_sums(spark):
         li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("total"))
         .orderBy(F.desc("total"), "l_partkey").limit(5).collect())]
     assert got == want
+
+
+def test_global_rollup_tree_merge_partition_invariant(spark):
+    """Global (no-group) merge_sketches tree-reduces per-partition partials
+    on the cluster; any partitioning of the stored cells must yield the
+    byte-identical merged sketch (register-max monoid)."""
+    from hyperloglog_spark import hll_sketch_agg
+    from hyperloglog_spark.rollup import merge_sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    stored = hll_sketch_agg(ev, "user_id", group_by="event_type")
+    a = merge_sketches(stored.coalesce(1)).collect()
+    b = merge_sketches(stored.repartition(40)).collect()
+    assert len(a) == len(b) == 1
+    assert bytes(a[0]["sketch"]) == bytes(b[0]["sketch"])
