@@ -241,6 +241,19 @@ def q_cms_top5_partkeys(spark, sf_dir):
     return cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=5)
 
 
+def q_cms_topk_verified_partkeys(spark, sf_dir):
+    """Estimate-then-verify heavy hitters: CMS+MG propose margin*k
+    candidates, one broadcast-semi-join rescan (IN-filter pushed to the
+    scan) computes their EXACT counts, top-k by exact count. The output
+    is exact, so the oracle is the plain SQL top-k — no estimate regime
+    to reason about, and the second scan touches only candidate rows."""
+    from hyperloglog_spark import cms_topk_verified
+
+    return cms_topk_verified(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", k=5
+    )
+
+
 def q_cms_weighted_qty_by_partkey(spark, sf_dir):
     """Weighted CMS = approximate SUM-by-key (total quantity per partkey)
     over key spaces too big to group exactly: each row adds l_quantity
@@ -1881,6 +1894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 4 --
     "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
     "multimodal_decode_stats": q_multimodal_decode_stats,
+    "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2487,6 +2501,11 @@ FROM rerank
 WINDOW w AS (PARTITION BY query_id ORDER BY score_permille DESC, neighbor_id)
 QUALIFY rank <= 5
 ORDER BY query_id, rank
+""",
+    "cms_topk_verified_partkeys": """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+FROM lineitem GROUP BY l_partkey
+ORDER BY exact_count DESC, l_partkey LIMIT 5
 """,
     "kll_weighted_price_quantiles": """
 WITH cum AS (

@@ -8,6 +8,7 @@ BASELINE.json).
 
 from .frequency import (
     cms_agg, cms_join_size, cms_point_query_udf, cms_topk,
+    cms_topk_verified,
     countsketch_agg, countsketch_f2, cs_point_query_udf,
 )
 from .functions import (
@@ -48,6 +49,7 @@ __all__ = [
     "cms_join_size",
     "cms_point_query_udf",
     "cms_topk",
+    "cms_topk_verified",
     "countsketch_agg",
     "countsketch_f2",
     "cs_point_query_udf",

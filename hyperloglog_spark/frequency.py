@@ -37,6 +37,7 @@ __all__ = [
     "CmsAggregator",
     "cms_agg",
     "cms_topk",
+    "cms_topk_verified",
     "cms_topk_shards",
     "cms_topk_rollup",
     "cms_point_query_udf",
@@ -310,6 +311,54 @@ def cms_topk(
         partials.groupBy("__g")
         .applyInPandas(lambda pdf: merge_rank(pdf), out_schema)
         .orderBy(F.desc("approx_count"), F.asc(col))
+    )
+
+
+def cms_topk_verified(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    margin: int = 4,
+    weight_col: str | None = None,
+    **sketch_params,
+) -> DataFrame:
+    """Estimate-then-verify heavy hitters: EXACT top-k counts at sketch
+    cost plus one candidate-only rescan.
+
+    Pass 1 (``cms_topk``) proposes ``margin * k`` candidates — CMS
+    estimates rank them, the Misra-Gries store bounds memory. Pass 2
+    rescans ONLY rows whose key is in the candidate set (the IN-filter
+    pushes to the scan / broadcast-hash semi-joins; the shuffle carries at
+    most ``margin*k x #partitions`` partial-count rows) and returns the
+    top-k by EXACT count (ties broken by ascending key — deterministic).
+
+    This is the production resolution of the CMS overestimate: the sketch
+    narrows 10^9 keys to ~margin*k, the exact pass charges only for those.
+    Correct whenever the true top-k survive into the candidate set; the MG
+    bound makes a miss require true count <= N_p/(cap+1) in EVERY
+    partition, so raise ``margin`` (candidate capacity scales with it) for
+    adversarially flat distributions. ``weight_col`` ranks by exact total
+    mass instead of row count."""
+    cand_rows = cms_topk(
+        df, col, k=margin * k, weight_col=weight_col, **sketch_params
+    ).collect()  # margin*k rows, driver-held by construction
+    cand_vals = [r[0] for r in cand_rows]
+    if not cand_vals:
+        return df.sparkSession.createDataFrame(
+            [], T.StructType([
+                next(f for f in df.schema.fields if f.name == col),
+                T.StructField("exact_count", T.LongType(), False),
+            ])
+        )
+    wcol = (F.col(weight_col).cast("long") if weight_col
+            else F.lit(1).cast("long"))
+    src = _drop_null_rows(df, [col])
+    return (
+        src.filter(F.col(col).isin(cand_vals))
+        .groupBy(col)
+        .agg(F.sum(wcol).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc(col))
+        .limit(k)
     )
 
 

@@ -312,3 +312,43 @@ class TestWeightedTopk:
         b = cms_topk(li.repartition(17), "l_partkey", k=5,
                      weight_col="l_quantity").collect()
         assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+class TestCmsTopkVerified:
+    """Estimate-then-verify heavy hitters: candidates from CMS+MG, exact
+    counts from one candidate-only rescan — output equals the exact
+    groupBy top-k."""
+
+    def test_equals_exact_topk(self, spark):
+        from hyperloglog_spark import cms_topk_verified
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        got = [(r[0], r[1]) for r in
+               cms_topk_verified(li, "l_partkey", k=5).collect()]
+        want = [(r[0], r[1]) for r in
+                li.groupBy("l_partkey").count()
+                .orderBy(F.desc("count"), F.asc("l_partkey"))
+                .limit(5).collect()]
+        assert got == want
+
+    def test_weighted_equals_exact_mass_topk(self, spark):
+        from hyperloglog_spark import cms_topk_verified
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        li = li.withColumn("q", F.col("l_quantity").cast("long"))
+        got = [(r[0], r[1]) for r in
+               cms_topk_verified(li, "l_suppkey", k=5,
+                                 weight_col="q").collect()]
+        want = [(r[0], r[1]) for r in
+                li.groupBy("l_suppkey").agg(F.sum("q").alias("m"))
+                .orderBy(F.desc("m"), F.asc("l_suppkey"))
+                .limit(5).collect()]
+        assert got == want
+
+    def test_small_value_space(self, spark):
+        from hyperloglog_spark import cms_topk_verified
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        out = cms_topk_verified(ev, "event_type", k=10).collect()
+        want = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+        assert {r[0]: r[1] for r in out} == want  # 5 types < k -> all exact
