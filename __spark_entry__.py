@@ -521,6 +521,34 @@ def q_kll_weighted_price_quantiles(spark, sf_dir):
     ).orderBy("q_permille")
 
 
+def q_kll_rank_prices(spark, sf_dir):
+    """approx_rank (CDF surface): estimated fraction of lineitem rows with
+    price <= probe, three probes. VALIDITY-HARNESS oracle: the exact rank
+    is one SQL expression; the flag asserts |est - exact| <= 0.05 (3x the
+    k=200 KLL rank error). exact_rank is the same integer division in
+    float64 on both sides, so it hash-matches bit-for-bit."""
+    from hyperloglog_spark import approx_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = approx_rank(
+        li, "l_extendedprice", [20_000.0, 50_000.0, 80_000.0]
+    ).collect()[0]
+    ests = {20000: est["r20000"], 50000: est["r50000"], 80000: est["r80000"]}
+    n = li.count()
+    ex = li.agg(*[
+        F.sum((F.col("l_extendedprice") <= F.lit(float(p))).cast("long"))
+        .alias(f"c_{p}")
+        for p in ests
+    ]).collect()[0]
+    rows = []
+    for p in (20000, 50000, 80000):
+        exact = ex[f"c_{p}"] / n
+        rows.append((p, float(exact), bool(abs(ests[p] - exact) <= 0.05)))
+    return spark.createDataFrame(
+        rows, "probe bigint, exact_rank double, est_in_bound boolean"
+    ).orderBy("probe")
+
+
 def q_fd_gram_by_label(spark, sf_dir):
     """Grouped Frequent Directions: one Gram sketch per label via the
     two-phase grouped pipeline, reduced to the trace (= sum of squared
@@ -1895,6 +1923,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
     "multimodal_decode_stats": q_multimodal_decode_stats,
     "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
+    "kll_rank_prices": q_kll_rank_prices,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2506,6 +2535,14 @@ ORDER BY query_id, rank
 SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
 FROM lineitem GROUP BY l_partkey
 ORDER BY exact_count DESC, l_partkey LIMIT 5
+""",
+    "kll_rank_prices": """
+SELECT p.probe,
+       (SELECT CAST(count(*) FILTER (l_extendedprice <= p.probe) AS DOUBLE)
+               / count(*) FROM lineitem) AS exact_rank,
+       TRUE AS est_in_bound
+FROM (VALUES (CAST(20000 AS BIGINT)), (50000), (80000)) p(probe)
+ORDER BY p.probe
 """,
     "kll_weighted_price_quantiles": """
 WITH cum AS (

@@ -25,7 +25,7 @@ from .functions import (
     with_error_bounds,
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
-from .quantiles import (approx_quantiles, approx_quantiles_weighted,
+from .quantiles import (approx_quantiles, approx_quantiles_weighted, approx_rank,
                         kll_agg, tdigest_agg)
 from .rollup import hll_rollup, merge_sketches, quantiles_rollup
 from .setops import (
@@ -43,6 +43,7 @@ __all__ = [
     "approx_distinct_verified",
     "approx_quantiles",
     "approx_quantiles_weighted",
+    "approx_rank",
     "bloom_agg",
     "bloom_build",
     "cms_agg",

@@ -21,10 +21,12 @@ from .sketch import kll, tdigest
 
 __all__ = [
     "KllAggregator",
+    "KllRankAggregator",
     "TDigestAggregator",
     "WeightedKllAggregator",
     "WeightedTDigestAggregator",
     "approx_quantiles",
+    "approx_rank",
     "approx_quantiles_weighted",
     "kll_agg",
     "tdigest_agg",
@@ -206,6 +208,55 @@ def approx_quantiles_weighted(
     return sketch_agg(
         _drop_null_rows(df, [col, weight_col]), [col], agg, group_by
     )
+
+
+def _r_name(v: float) -> str:
+    return "r" + f"{v:g}".replace("-", "m").replace(".", "_")
+
+
+class KllRankAggregator(KllAggregator):
+    """KLL finalized to normalized RANKS (the CDF companion of the
+    quantile surface): for each probe value v, the estimated fraction of
+    rows <= v. Same build/merge as KllAggregator; only finalize differs.
+    Exact (bit-for-bit the SQL count_if(x<=v)/count(*)) below the first
+    compaction; within the KLL rank error (~1.3-1.65% whp at k=200)
+    beyond."""
+
+    name = "kll_rank"
+
+    def __init__(self, values: list[float], **params):
+        super().__init__([0.5], **params)   # qs unused by rank finalize
+        if not values:
+            raise ValueError("approx_rank needs at least one probe value")
+        self.values = [float(v) for v in values]
+        self.finalize_fields = [
+            T.StructField(_r_name(v), T.DoubleType(), True)
+            for v in self.values
+        ]
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        rs = kll.rank(sketch, np.array(self.values))
+        return {
+            _r_name(v): (None if np.isnan(r) else float(r))
+            for v, r in zip(self.values, rs)
+        }
+
+
+def approx_rank(
+    df: DataFrame,
+    col: str,
+    values: list[float],
+    group_by: str | list[str] | None = None,
+    **params,
+) -> DataFrame:
+    """Approximate normalized ranks: for each probe value v, the fraction
+    of rows with ``col`` <= v (per group when ``group_by`` is given) —
+    'what share of turns finish under 2 s' without an exact pass. KLL
+    backend; one scan, sketch-rows-only shuffle, same two-phase shape as
+    approx_quantiles."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    agg = KllRankAggregator(values, **params)
+    return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by)
 
 
 def _make_agg(method: str, qs=None, **params) -> _QuantileAggregator:

@@ -307,3 +307,44 @@ class TestWeightedKll:
         ).collect()
         assert len(out) == li.select("l_returnflag").distinct().count()
         assert all(r["q5"] is not None for r in out)
+
+
+class TestApproxRank:
+    """approx_rank: the CDF companion surface (fraction of rows <= v)."""
+
+    def test_exact_regime_bit_exact(self, spark):
+        from hyperloglog_spark import approx_rank
+
+        rows = [(float(i),) for i in range(150)]
+        df = spark.createDataFrame(rows, ["x"])
+        out = approx_rank(df, "x", [10.0, 74.5, 149.0, -1.0]).collect()[0]
+        assert out["r10"] == 11 / 150        # x <= 10 -> 0..10
+        assert out["r74_5"] == 75 / 150
+        assert out["r149"] == 1.0
+        assert out["rm1"] == 0.0
+
+    def test_estimation_regime_within_bound(self, spark):
+        from hyperloglog_spark import approx_rank
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        n = li.count()
+        for probe in (20_000.0, 50_000.0, 80_000.0):
+            est = approx_rank(li, "l_extendedprice", [probe]).collect()[0][0]
+            exact = li.filter(F.col("l_extendedprice") <= probe).count() / n
+            assert abs(est - exact) <= 0.05, (probe, est, exact)
+
+    def test_grouped(self, spark):
+        from hyperloglog_spark import approx_rank
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        out = approx_rank(ev, "value", [0.0], group_by="event_type").collect()
+        assert len(out) == 5
+        for r in out:
+            assert 0.0 <= r["r0"] <= 1.0
+
+    def test_empty_probe_raises(self, spark):
+        from hyperloglog_spark import approx_rank
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        with pytest.raises(ValueError, match="probe"):
+            approx_rank(ev, "value", [])
