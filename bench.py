@@ -290,6 +290,16 @@ def main() -> None:
     # tests/test_transcripts.py, measured here.
     from hyperloglog_spark.transcripts import with_salted_key
 
+    # estimate-then-verify heavy hitters: sketch pass + candidate-only
+    # exact rescan (INSET pushed to the scan) — the two-pass cost profile
+    from hyperloglog_spark import approx_rank, cms_topk_verified
+
+    queries["cms_topk_verified_tools"] = lambda: cms_topk_verified(
+        trans, "tool", k=10)
+    # CDF surface: share of turns under three text-length thresholds
+    queries["kll_rank_turn_len"] = lambda: approx_rank(
+        trans.selectExpr("length(text) AS n"), "n", [80.0, 256.0, 1024.0])
+
     queries["hll_hot_role_unsalted"] = lambda: approx_distinct(
         trans, "text", group_by="role")
     queries["hll_hot_role_salted"] = lambda: hll_rollup(

@@ -254,3 +254,26 @@ def test_conversation_fingerprints_single_exchange_no_payload(events):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial sum" in plan.lower() \
         or plan.count("HashAggregate") >= 2
+
+
+def test_cms_topk_verified_exact_pass_pushes_candidate_set(spark, sf01_dir):
+    """The verify rescan must push the candidate IN-set into the parquet
+    scan (INSET) and read only the key column — at 100 TB the second pass
+    charges for candidate rows, not a full-width rescan."""
+    from hyperloglog_spark import cms_topk_verified
+
+    spark.catalog.clearCache()
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    q = cms_topk_verified(li, "l_partkey", k=5)
+    assert scan_columns(q) == {"l_partkey"}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" in plan or any("In(l_partkey" in f
+                                  for f in pushed_filters(q)), plan[:2000]
+
+
+def test_approx_rank_prune_and_single_shuffle(events):
+    from hyperloglog_spark import approx_rank
+
+    q = approx_rank(events, "value", [0.0, 1.0])
+    assert_pruned_scan(q, {"value"})
+    assert_max_exchanges(q, 1)
