@@ -1258,6 +1258,36 @@ def q_multimodal_decode_stats(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_stats(spark, sf_dir):
+    """REAL audio decode, no codec library: deterministic 16-bit PCM WAV
+    payloads (sample j of asset i = (i*37 + j*257) % 4001 - 2000, 24 mono
+    samples @ 16 kHz) decoded by the pure-numpy RIFF chunk walker through
+    the same extract_features mapInPandas plumbing. Output stats are
+    order-independent exact integers — one SQL replay of the generator,
+    hash-exact."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_audio_stats, extract_features, synthesize_audio_assets,
+    )
+
+    assets = synthesize_audio_assets(_t(spark, sf_dir, "documents"), "doc_id")
+    feats = extract_features(assets, decoder=decoded_audio_stats)
+    f = F.col("features")
+    return (
+        feats.select(
+            "asset_id",
+            "n_bytes",
+            f[1].cast("bigint").alias("sample_sum"),
+            f[2].cast("bigint").alias("sample_sqsum"),
+            f[3].cast("bigint").alias("smin"),
+            f[4].cast("bigint").alias("smax"),
+            f[5].cast("bigint").alias("n_samples"),
+            f[6].cast("bigint").alias("sample_rate"),
+            f[7].cast("bigint").alias("channels"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 def q_orders_per_priority(spark, sf_dir):
     """Exact composition query (engine + oracle plumbing sanity)."""
     return (
@@ -1924,6 +1954,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stats": q_multimodal_decode_stats,
     "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
     "kll_rank_prices": q_kll_rank_prices,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -3096,6 +3127,22 @@ SELECT doc_id, n_tokens, stop_permille, punct_permille, ttr_permille,
          + ttr_permille / 5 - least(punct_permille, 300)) AS BIGINT),
          1000), 0) AS score
 FROM pm ORDER BY doc_id
+""",
+    "multimodal_audio_stats": """
+WITH sm AS (
+  SELECT doc_id, ((doc_id * 37 + r.i * 257) % 4001 - 2000) AS v
+  FROM documents, range(24) r(i)
+)
+SELECT doc_id AS asset_id,
+       CAST(92 AS BIGINT) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(sum(v * v) AS BIGINT) AS sample_sqsum,
+       CAST(min(v) AS BIGINT) AS smin,
+       CAST(max(v) AS BIGINT) AS smax,
+       CAST(24 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels
+FROM sm GROUP BY doc_id ORDER BY asset_id
 """,
     "multimodal_decode_stats": """
 WITH px AS (

@@ -277,6 +277,104 @@ def decode_image(payload: bytes, codec: str | None = None) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(payload)))
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> RIFF/WAVE (PCM16, LE)."""
+    import struct
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    block = ch * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate,
+                      sample_rate * block, block, 16)
+    header = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data),
+                         b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, channels) int16 array, sample_rate).
+
+    Pure-numpy chunk walk (the audio mirror of the PPM/BMP image parsers):
+    tolerates extra chunks in any order, requires uncompressed 16-bit PCM.
+    Compressed audio (mp3/ogg/flac) has no parser here by design — stage
+    uncompressed PCM, exactly as the image path stages PPM/BMP."""
+    import struct
+
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid, size = struct.unpack_from("<4sI", p, pos)
+        body = p[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, "
+            f"bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, ch).copy(), int(sample_rate)
+
+
+def decoded_audio_stats(payloads: pd.Series) -> np.ndarray:
+    """Integer-exact audio decode stats for oracle verification: per clip
+    (n_bytes, sample_sum, sample_sqsum, min, max, n_samples, sample_rate,
+    channels) — same FEATURE_DIM shape as the image stats, every value an
+    integer exactly representable in float64."""
+    out = np.empty((len(payloads), FEATURE_DIM))
+    for i, p in enumerate(payloads):
+        a, rate = decode_audio(p)
+        flat = a.reshape(-1).astype(np.int64)
+        out[i] = [
+            len(p), int(flat.sum()), int((flat * flat).sum()),
+            int(flat.min()), int(flat.max()),
+            a.shape[0], rate, a.shape[1],
+        ]
+    return out
+
+
+def synthesize_audio_assets(
+    df: DataFrame, id_col: str, n_samples: int = 24, channels: int = 1,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Deterministic REAL WAV payloads from an id column: sample j of
+    asset i is ``(i*37 + j*257) % 4001 - 2000`` (signed, SQL-replayable);
+    order-independent integer stats verify against one SQL replay while
+    the decoder exercises real RIFF chunk walking."""
+    n = n_samples * channels
+
+    def build(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in chunks:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for i in ids:  # fixture synthesis, not an operator hot path
+                j = np.arange(n, dtype=np.int64)
+                samples = ((int(i) * 37 + j * 257) % 4001 - 2000).astype(
+                    np.int16
+                ).reshape(n_samples, channels)
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "kind": ["audio"] * len(ids),
+                "payload": payloads,
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, "asset_id bigint, kind string, payload binary"
+    )
+
+
 def decode_features(payloads: pd.Series) -> np.ndarray:
     """Real-decoder counterpart of ``fake_decode_features``: per-image
     (n_bytes, mean, std, min, max, width, height, channels) — the same

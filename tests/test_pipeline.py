@@ -1479,3 +1479,50 @@ def test_real_decode_through_spark_plumbing(docs):
         assert f[1] == px.sum() and f[2] == (px * px).sum()
         assert f[3] == px.min() and f[4] == px.max()
         assert (f[5], f[6], f[7]) == (4.0, 3.0, 3.0)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """Pure-numpy WAV (PCM16) codec: mono/stereo round-trips bit-exactly;
+    the RIFF chunk walker tolerates extra chunks (even and odd sizes) and
+    rejects non-PCM formats."""
+    import struct
+
+    from hyperloglog_spark.pipeline.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32768, size=100, dtype=np.int16)
+    dec, rate = decode_audio(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(50, 2), dtype=np.int16)
+    dec2, rate2 = decode_audio(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(dec2, stereo)
+    enc = encode_wav(mono, 8000)
+    for size, body in ((6, b"abcdef"), (5, b"abcde\x00")):  # odd -> padded
+        extra = struct.pack("<4sI", b"LIST", size) + body
+        patched = enc[:36] + extra + enc[36:]
+        patched = patched[:4] + struct.pack(
+            "<I", len(patched) - 8) + patched[8:]
+        dec3, _ = decode_audio(patched)
+        assert np.array_equal(dec3[:, 0], mono)
+    bad = bytearray(enc)
+    bad[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_audio(bytes(bad))
+
+
+def test_real_audio_decode_through_spark_plumbing(docs):
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_audio_stats, extract_features, synthesize_audio_assets,
+    )
+
+    assets = synthesize_audio_assets(docs.limit(40), "doc_id")
+    rows = extract_features(assets, decoder=decoded_audio_stats).collect()
+    assert len(rows) == 40
+    for r in rows[:15]:
+        i = r["asset_id"]
+        v = (i * 37 + np.arange(24, dtype=np.int64) * 257) % 4001 - 2000
+        f = r["features"]
+        assert r["n_bytes"] == 92
+        assert f[1] == v.sum() and f[2] == (v * v).sum()
+        assert f[3] == v.min() and f[4] == v.max()
+        assert (f[5], f[6], f[7]) == (24.0, 16000.0, 1.0)
