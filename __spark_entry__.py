@@ -521,6 +521,45 @@ def q_kll_weighted_price_quantiles(spark, sf_dir):
     ).orderBy("q_permille")
 
 
+def q_kll_price_quantiles_bounded(spark, sf_dir):
+    """bounds=True quantiles: the sketch's [q_lo, q_hi] interval (values
+    at ranks q -/+ eps, eps = the KLL whp rank bound 3.3/k) must cover
+    the exact q-quantile — the reference TestValidity shape on the
+    quantile surface. Output (q_permille, exact_q, covered); the exact
+    side's single-task sort is verification cost only."""
+    from pyspark.sql import Window
+
+    from hyperloglog_spark import approx_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = approx_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.9], bounds=True
+    ).collect()[0]
+    n = li.count()
+    w = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    import math
+
+    targets = {qpm: int(math.ceil(qpm / 1000.0 * n))
+               for qpm in (250, 500, 900)}
+    ex = {
+        r["rn"]: r["p"]
+        for r in ranked.filter(
+            F.col("rn").isin(list(targets.values()))).collect()
+    }
+    rows = []
+    for qpm, name in ((250, "q25"), (500, "q5"), (900, "q9")):
+        exact = float(ex[targets[qpm]])
+        covered = bool(est[name + "_lo"] <= exact <= est[name + "_hi"])
+        rows.append((qpm, exact, covered))
+    return spark.createDataFrame(
+        rows, "q_permille bigint, exact_q double, covered boolean"
+    ).orderBy("q_permille")
+
+
 def q_kll_rank_prices(spark, sf_dir):
     """approx_rank (CDF surface): estimated fraction of lineitem rows with
     price <= probe, three probes. VALIDITY-HARNESS oracle: the exact rank
@@ -1955,6 +1994,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
     "kll_rank_prices": q_kll_rank_prices,
     "multimodal_audio_stats": q_multimodal_audio_stats,
+    "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2566,6 +2606,19 @@ ORDER BY query_id, rank
 SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
 FROM lineitem GROUP BY l_partkey
 ORDER BY exact_count DESC, l_partkey LIMIT 5
+""",
+    "kll_price_quantiles_bounded": """
+WITH n AS (SELECT count(*) AS c FROM lineitem),
+o AS (SELECT l_extendedprice AS p,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem)
+SELECT q.q_permille,
+       (SELECT p FROM o, n
+        WHERE rn = CAST(ceil(q.q_permille / 1000.0 * c) AS BIGINT))
+         AS exact_q,
+       TRUE AS covered
+FROM (VALUES (CAST(250 AS BIGINT)), (500), (900)) q(q_permille)
+ORDER BY q.q_permille
 """,
     "kll_rank_prices": """
 SELECT p.probe,

@@ -40,14 +40,32 @@ def _q_name(q: float) -> str:
 class _QuantileAggregator(SketchAggregator):
     module = None  # kll or tdigest
 
-    def __init__(self, qs: list[float] | None = None, **params):
+    def __init__(self, qs: list[float] | None = None, bounds: bool = False,
+                 **params):
         self.qs = list(qs or [0.5])
         if any(not 0 <= q <= 1 for q in self.qs):  # fail fast on the driver
             raise ValueError(f"quantile ranks must be in [0, 1]: {self.qs}")
         self.params = params
-        self.finalize_fields = [
-            T.StructField(_q_name(q), T.DoubleType(), True) for q in self.qs
-        ]
+        self.bounds = bounds
+        if bounds and self.rank_eps() is None:
+            raise ValueError(
+                f"{self.name} has no worst-case rank bound; bounds=True "
+                "requires the KLL backend"
+            )
+        self.finalize_fields = []
+        for q in self.qs:
+            if bounds:
+                self.finalize_fields.append(
+                    T.StructField(_q_name(q) + "_lo", T.DoubleType(), True))
+            self.finalize_fields.append(
+                T.StructField(_q_name(q), T.DoubleType(), True))
+            if bounds:
+                self.finalize_fields.append(
+                    T.StructField(_q_name(q) + "_hi", T.DoubleType(), True))
+
+    def rank_eps(self) -> float | None:
+        """Whp rank-error bound of this sketch config; None = unbounded."""
+        return None
 
     def _build(self, values: np.ndarray) -> bytes:
         raise NotImplementedError
@@ -72,16 +90,33 @@ class _QuantileAggregator(SketchAggregator):
         return self.module.merge_many(sketches)
 
     def finalize(self, sketch: bytes) -> dict[str, Any]:
+        def f(v):
+            return None if np.isnan(v) else float(v)
+
         vals = self.module.quantiles(sketch, self.qs)
-        return {
-            _q_name(q): (None if np.isnan(v) else float(v))
-            for q, v in zip(self.qs, vals)
-        }
+        out = {_q_name(q): f(v) for q, v in zip(self.qs, vals)}
+        if self.bounds:
+            eps = self.rank_eps()
+            lo_q = [max(0.0, q - eps) for q in self.qs]
+            hi_q = [min(1.0, q + eps) for q in self.qs]
+            lows = self.module.quantiles(sketch, lo_q)
+            highs = self.module.quantiles(sketch, hi_q)
+            for q, lo, hi in zip(self.qs, lows, highs):
+                out[_q_name(q) + "_lo"] = f(lo)
+                out[_q_name(q) + "_hi"] = f(hi)
+        return out
 
 
 class KllAggregator(_QuantileAggregator):
     name = "kll"
     module = kll
+
+    def rank_eps(self) -> float:
+        """Conservative whp rank-error bound for the c=2/3 geometric
+        capacity schedule: O(1/k) (Karnin-Lang-Liberty 2016 §3); the
+        constant 3.3 is the repo's conservative envelope of the measured
+        tail (1.65% at the default k=200, matching sketch/kll.py)."""
+        return 3.3 / self.params.get("k", kll.DEFAULT_K)
 
     def _build(self, values: np.ndarray) -> bytes:
         return kll.from_values(values, self.params.get("k", kll.DEFAULT_K))
@@ -277,7 +312,12 @@ def approx_quantiles(
 ) -> DataFrame:
     """Approximate quantiles of ``col`` at ranks ``qs`` (optionally per
     group). Output columns are named q5, q9, q99, ... after the rank with
-    the leading "0." stripped (0.5 -> q5, 0.99 -> q99)."""
+    the leading "0." stripped (0.5 -> q5, 0.99 -> q99).
+
+    ``bounds=True`` (KLL backend only) adds ``<q>_lo`` / ``<q>_hi``
+    columns — the sketch's values at ranks q -/+ eps for the backend's whp
+    rank-error bound eps (the reference TestValidity shape: the exact
+    q-quantile lies in [lo, hi] with high probability)."""
     group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
     agg = _make_agg(method, qs, **params)
     return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by)

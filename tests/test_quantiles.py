@@ -348,3 +348,40 @@ class TestApproxRank:
         ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
         with pytest.raises(ValueError, match="probe"):
             approx_rank(ev, "value", [])
+
+
+class TestBoundedQuantiles:
+    """bounds=True: q_lo/q_hi columns at ranks q -/+ eps (whp bound)."""
+
+    def test_bounds_cover_exact_quantile(self, spark):
+        from hyperloglog_spark import approx_quantiles
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        out = approx_quantiles(
+            li, "l_extendedprice", [0.25, 0.5, 0.9], bounds=True
+        ).collect()[0]
+        vals = np.sort(np.array(
+            [r[0] for r in li.select("l_extendedprice").collect()]))
+        n = len(vals)
+        for q, name in ((0.25, "q25"), (0.5, "q5"), (0.9, "q9")):
+            exact = vals[min(int(np.ceil(q * n)) - 1, n - 1)]
+            assert out[name + "_lo"] <= exact <= out[name + "_hi"], (
+                q, out[name + "_lo"], exact, out[name + "_hi"])
+            assert out[name + "_lo"] <= out[name] <= out[name + "_hi"]
+
+    def test_column_order_and_grouped(self, spark):
+        from hyperloglog_spark import approx_quantiles
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        df = approx_quantiles(ev, "value", [0.5], group_by="event_type",
+                              bounds=True)
+        assert df.columns == ["event_type", "q5_lo", "q5", "q5_hi"]
+        assert df.count() == 5
+
+    def test_tdigest_bounds_rejected(self, spark):
+        from hyperloglog_spark import approx_quantiles
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        with pytest.raises(ValueError, match="bounds"):
+            approx_quantiles(ev, "value", [0.5], method="tdigest",
+                             bounds=True)
