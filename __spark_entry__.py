@@ -1327,6 +1327,36 @@ def q_multimodal_audio_stats(spark, sf_dir):
     )
 
 
+def q_multimodal_video_stats(spark, sf_dir):
+    """REAL video decode, no codec library: deterministic YUV4MPEG2
+    payloads (luma pixel j of frame f of asset i = (i*41+f*13+j*7) % 256,
+    3 frames of 4x4 C420) decoded by the pure-numpy Y4M parser (header
+    tokens, FRAME markers, chroma-plane skip) through the same
+    extract_features mapInPandas plumbing. Order-independent exact
+    integer stats; one SQL replay of the generator, hash-exact."""
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_video_stats, extract_features, synthesize_video_assets,
+    )
+
+    assets = synthesize_video_assets(_t(spark, sf_dir, "documents"), "doc_id")
+    feats = extract_features(assets, decoder=decoded_video_stats)
+    f = F.col("features")
+    return (
+        feats.select(
+            "asset_id",
+            "n_bytes",
+            f[1].cast("bigint").alias("luma_sum"),
+            f[2].cast("bigint").alias("luma_sqsum"),
+            f[3].cast("bigint").alias("lmin"),
+            f[4].cast("bigint").alias("lmax"),
+            f[5].cast("bigint").alias("n_frames"),
+            f[6].cast("bigint").alias("width"),
+            f[7].cast("bigint").alias("height"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 def q_orders_per_priority(spark, sf_dir):
     """Exact composition query (engine + oracle plumbing sanity)."""
     return (
@@ -1995,6 +2025,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_rank_prices": q_kll_rank_prices,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
+    "multimodal_video_stats": q_multimodal_video_stats,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -3180,6 +3211,22 @@ SELECT doc_id, n_tokens, stop_permille, punct_permille, ttr_permille,
          + ttr_permille / 5 - least(punct_permille, 300)) AS BIGINT),
          1000), 0) AS score
 FROM pm ORDER BY doc_id
+""",
+    "multimodal_video_stats": """
+WITH px AS (
+  SELECT doc_id, ((doc_id * 41 + f.f * 13 + j.j * 7) % 256) AS v
+  FROM documents, range(3) f(f), range(16) j(j)
+)
+SELECT doc_id AS asset_id,
+       CAST(129 AS BIGINT) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS luma_sum,
+       CAST(sum(v * v) AS BIGINT) AS luma_sqsum,
+       CAST(min(v) AS BIGINT) AS lmin,
+       CAST(max(v) AS BIGINT) AS lmax,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height
+FROM px GROUP BY doc_id ORDER BY asset_id
 """,
     "multimodal_audio_stats": """
 WITH sm AS (

@@ -375,6 +375,122 @@ def synthesize_audio_assets(
     )
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 LUMA -> YUV4MPEG2 (C420jpeg, flat gray
+    chroma). h and w must be even (4:2:0 subsampling)."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError(f"expected (n_frames, h, w), got {a.shape}")
+    n, h, w = a.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even frame dimensions")
+    header = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} "
+              f"Ip A1:1 C420jpeg\n").encode()
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [header]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[f].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 (C420*) -> ((n_frames, h, w) uint8 LUMA planes, fps_num).
+
+    Pure-numpy stream walk — the video mirror of the PPM/BMP/WAV parsers:
+    parses the plain-text header, then per-frame Y/U/V planes; chroma is
+    skipped (features here are luma statistics). Compressed video
+    (h264/vp9/...) has no parser by design — stage Y4M, as the image and
+    audio paths stage PPM/BMP and PCM WAV."""
+    p = bytes(payload)
+    if not p.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = p.index(b"\n")
+    w = h = None
+    fps_num = 25
+    colorspace = "C420jpeg"
+    for tok in p[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fps_num = int(tok[1:].split(b":")[0])
+        elif tok.startswith(b"C"):
+            colorspace = tok.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"only C420 Y4M supported, got {colorspace}")
+    luma_n, chroma_n = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(p):
+        fnl = p.index(b"\n", pos)
+        if p[pos: pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(p, dtype=np.uint8, count=luma_n, offset=pos)
+            .reshape(h, w)
+        )
+        pos += luma_n + 2 * chroma_n
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), \
+        fps_num
+
+
+def decoded_video_stats(payloads: pd.Series) -> np.ndarray:
+    """Integer-exact video decode stats: per clip (n_bytes, luma_sum,
+    luma_sqsum, min, max, n_frames, width, height) — the FEATURE_DIM
+    shape, every value an integer exact in float64."""
+    out = np.empty((len(payloads), FEATURE_DIM))
+    for i, p in enumerate(payloads):
+        frames, _ = decode_video(p)
+        flat = frames.reshape(-1).astype(np.int64)
+        out[i] = [
+            len(p), int(flat.sum()), int((flat * flat).sum()),
+            int(flat.min()) if len(flat) else 0,
+            int(flat.max()) if len(flat) else 0,
+            frames.shape[0], frames.shape[2], frames.shape[1],
+        ]
+    return out
+
+
+def synthesize_video_assets(
+    df: DataFrame, id_col: str, n_frames: int = 3,
+    width: int = 4, height: int = 4,
+) -> DataFrame:
+    """Deterministic REAL Y4M payloads from an id column: luma pixel j of
+    frame f of asset i is ``(i*41 + f*13 + j*7) % 256`` — the generator is
+    one SQL expression, so order-independent integer stats replay exactly
+    while the decoder exercises real header + frame-marker parsing and
+    chroma-plane skipping."""
+    npx = width * height
+
+    def build(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in chunks:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for i in ids:  # fixture synthesis, not an operator hot path
+                f_idx = np.arange(n_frames, dtype=np.int64)[:, None]
+                j = np.arange(npx, dtype=np.int64)[None, :]
+                luma = ((int(i) * 41 + f_idx * 13 + j * 7) % 256).astype(
+                    np.uint8
+                ).reshape(n_frames, height, width)
+                payloads.append(encode_y4m(luma))
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "kind": ["video"] * len(ids),
+                "payload": payloads,
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, "asset_id bigint, kind string, payload binary"
+    )
+
+
 def decode_features(payloads: pd.Series) -> np.ndarray:
     """Real-decoder counterpart of ``fake_decode_features``: per-image
     (n_bytes, mean, std, min, max, width, height, channels) — the same

@@ -1526,3 +1526,38 @@ def test_real_audio_decode_through_spark_plumbing(docs):
         assert f[1] == v.sum() and f[2] == (v * v).sum()
         assert f[3] == v.min() and f[4] == v.max()
         assert (f[5], f[6], f[7]) == (24.0, 16000.0, 1.0)
+
+
+def test_y4m_roundtrip_and_rejections():
+    """Pure-numpy Y4M (YUV4MPEG2 C420) codec: luma round-trips bit-exactly
+    across frames; odd dimensions and non-420 colorspaces rejected."""
+    from hyperloglog_spark.pipeline.multimodal import decode_video, encode_y4m
+
+    rng = np.random.default_rng(2)
+    fr = rng.integers(0, 256, (5, 6, 8), dtype=np.uint8)
+    dec, fps = decode_video(encode_y4m(fr, fps=(30, 1)))
+    assert fps == 30 and np.array_equal(dec, fr)
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(rng.integers(0, 256, (1, 3, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="C420"):
+        decode_video(encode_y4m(fr).replace(b"C420jpeg", b"C444AAAA", 1))
+
+
+def test_real_video_decode_through_spark_plumbing(docs):
+    from hyperloglog_spark.pipeline.multimodal import (
+        decoded_video_stats, extract_features, synthesize_video_assets,
+    )
+
+    assets = synthesize_video_assets(docs.limit(30), "doc_id")
+    rows = extract_features(assets, decoder=decoded_video_stats).collect()
+    assert len(rows) == 30
+    for r in rows[:10]:
+        i = r["asset_id"]
+        f_idx = np.arange(3, dtype=np.int64)[:, None]
+        j = np.arange(16, dtype=np.int64)[None, :]
+        v = (i * 41 + f_idx * 13 + j * 7) % 256
+        f = r["features"]
+        assert r["n_bytes"] == 129
+        assert f[1] == v.sum() and f[2] == (v * v).sum()
+        assert f[3] == v.min() and f[4] == v.max()
+        assert (f[5], f[6], f[7]) == (3.0, 4.0, 4.0)
