@@ -560,6 +560,20 @@ def q_kll_price_quantiles_bounded(spark, sf_dir):
     ).orderBy("q_permille")
 
 
+def q_kll_trimmed_mean_acctbal(spark, sf_dir):
+    """Trimmed mean (10%-90% window) of customer balances through the
+    sketch path with k=65535 — the no-compaction regime, where the
+    interval-overlap semantics are EXACTLY the fractional-overlap
+    order-statistic rule: one SQL expression, hash-exact. (The default
+    k=200 path is the estimation regime; its accuracy is pinned by
+    tests/test_quantiles.py::TestTrimmedMean.)"""
+    from hyperloglog_spark import approx_trimmed_mean
+
+    return approx_trimmed_mean(
+        _t(spark, sf_dir, "customer"), "c_acctbal", 0.1, 0.9, k=65535
+    ).select(F.round("trimmed_mean", 4).alias("trimmed_mean"))
+
+
 def q_kll_rank_prices(spark, sf_dir):
     """approx_rank (CDF surface): estimated fraction of lineitem rows with
     price <= probe, three probes. VALIDITY-HARNESS oracle: the exact rank
@@ -2026,6 +2040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
     "multimodal_video_stats": q_multimodal_video_stats,
+    "kll_trimmed_mean_acctbal": q_kll_trimmed_mean_acctbal,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2637,6 +2652,18 @@ ORDER BY query_id, rank
 SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
 FROM lineitem GROUP BY l_partkey
 ORDER BY exact_count DESC, l_partkey LIMIT 5
+""",
+    "kll_trimmed_mean_acctbal": """
+WITH o AS (
+  SELECT c_acctbal AS x,
+         CAST(row_number() OVER (ORDER BY c_acctbal) AS DOUBLE) AS p,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM customer
+), ov AS (
+  SELECT x, greatest(0, least(p, 0.9 * n) - greatest(p - 1, 0.1 * n)) AS w
+  FROM o
+)
+SELECT round(sum(x * w) / sum(w), 4) AS trimmed_mean FROM ov
 """,
     "kll_price_quantiles_bounded": """
 WITH n AS (SELECT count(*) AS c FROM lineitem),

@@ -25,7 +25,7 @@ from .functions import (
     with_error_bounds,
 )
 from .membership import bloom_agg, bloom_build, with_might_contain
-from .quantiles import (approx_quantiles, approx_quantiles_weighted, approx_rank,
+from .quantiles import (approx_quantiles, approx_quantiles_weighted, approx_rank, approx_trimmed_mean,
                         kll_agg, tdigest_agg)
 from .rollup import hll_rollup, merge_sketches, quantiles_rollup
 from .setops import (
@@ -44,6 +44,7 @@ __all__ = [
     "approx_quantiles",
     "approx_quantiles_weighted",
     "approx_rank",
+    "approx_trimmed_mean",
     "bloom_agg",
     "bloom_build",
     "cms_agg",

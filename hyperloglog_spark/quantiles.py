@@ -27,6 +27,7 @@ __all__ = [
     "WeightedTDigestAggregator",
     "approx_quantiles",
     "approx_rank",
+    "approx_trimmed_mean",
     "approx_quantiles_weighted",
     "kll_agg",
     "tdigest_agg",
@@ -243,6 +244,64 @@ def approx_quantiles_weighted(
     return sketch_agg(
         _drop_null_rows(df, [col, weight_col]), [col], agg, group_by
     )
+
+
+class _TrimmedMeanMixin:
+    """Finalize override shared by the trimmed-mean aggregators."""
+
+    def _init_trim(self, q0: float, q1: float) -> None:
+        if not 0 <= q0 < q1 <= 1:
+            raise ValueError(f"need 0 <= q0 < q1 <= 1, got ({q0}, {q1})")
+        self.q0, self.q1 = float(q0), float(q1)
+        self.finalize_fields = [
+            T.StructField("trimmed_mean", T.DoubleType(), True)
+        ]
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        v = self.module.trimmed_mean(sketch, self.q0, self.q1)
+        return {"trimmed_mean": None if np.isnan(v) else float(v)}
+
+
+class KllTrimmedMeanAggregator(_TrimmedMeanMixin, KllAggregator):
+    name = "kll_trimmed_mean"
+
+    def __init__(self, q0: float, q1: float, **params):
+        super().__init__([0.5], **params)
+        self._init_trim(q0, q1)
+
+
+class TDigestTrimmedMeanAggregator(_TrimmedMeanMixin, TDigestAggregator):
+    name = "tdigest_trimmed_mean"
+
+    def __init__(self, q0: float, q1: float, **params):
+        super().__init__([0.5], **params)
+        self._init_trim(q0, q1)
+
+
+def approx_trimmed_mean(
+    df: DataFrame,
+    col: str,
+    q0: float = 0.05,
+    q1: float = 0.95,
+    group_by: str | list[str] | None = None,
+    method: str = "kll",
+    **params,
+) -> DataFrame:
+    """Robust ("trimmed") mean: mean of the mass with normalized rank in
+    (q0, q1] — mean latency with outliers trimmed, per group when
+    ``group_by`` is given. Interval-overlap semantics (fractional
+    boundary items), so with the KLL backend in the no-compaction regime
+    (k >= n) the result is EXACTLY the SQL fractional-overlap
+    order-statistic rule; beyond, boundaries carry the backend's rank
+    error."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    if method == "kll":
+        agg: _QuantileAggregator = KllTrimmedMeanAggregator(q0, q1, **params)
+    elif method == "tdigest":
+        agg = TDigestTrimmedMeanAggregator(q0, q1, **params)
+    else:
+        raise ValueError(f"method must be 'kll' or 'tdigest', got {method!r}")
+    return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by)
 
 
 def _r_name(v: float) -> str:

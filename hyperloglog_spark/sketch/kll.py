@@ -258,6 +258,32 @@ def quantiles(sketch: bytes, qs) -> np.ndarray:
     return out
 
 
+def trimmed_mean(sketch: bytes, q0: float, q1: float) -> float:
+    """Mean of the values with normalized rank in (q0, q1] — the robust
+    ("trimmed") mean, computed by interval overlap: retained item i with
+    weight w_i occupies the rank interval (cum_{i-1}, cum_i] of the total
+    mass W; its contribution is the length of the overlap with
+    (q0*W, q1*W]. In the no-compaction regime (unit weights) this is
+    EXACTLY the fractional-overlap order-statistic rule, which is one SQL
+    expression — the hash-exact oracle mode; beyond, boundary items carry
+    the KLL rank error."""
+    if not 0 <= q0 < q1 <= 1:
+        raise ValueError(f"need 0 <= q0 < q1 <= 1, got ({q0}, {q1})")
+    st = _deserialize(sketch)
+    if st.n == 0:
+        return math.nan
+    items, weights = _weighted_items(st)
+    cum = np.cumsum(weights.astype(np.float64))
+    total = cum[-1]
+    lo, hi = q0 * total, q1 * total
+    prev = cum - weights
+    overlap = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo), 0, None)
+    mass = overlap.sum()
+    if mass <= 0:
+        return math.nan
+    return float((items * overlap).sum() / mass)
+
+
 def rank(sketch: bytes, values) -> np.ndarray:
     """Estimated normalized rank (fraction of items <= value)."""
     st = _deserialize(sketch)

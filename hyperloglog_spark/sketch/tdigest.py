@@ -227,6 +227,29 @@ def quantiles(sketch: bytes, qs) -> np.ndarray:
     return np.clip(out, vmin, vmax)
 
 
+def trimmed_mean(sketch: bytes, q0: float, q1: float) -> float:
+    """Mean of the mass with normalized rank in (q0, q1] by centroid
+    interval overlap: centroid i (mean m_i, weight w_i) occupies
+    (cum_{i-1}, cum_i] of the total mass W; its contribution is the
+    overlap length with (q0*W, q1*W] at value m_i. Exact in the
+    singleton regime (every centroid weight 1); boundary centroids
+    otherwise smear by at most their width."""
+    if not 0 <= q0 < q1 <= 1:
+        raise ValueError(f"need 0 <= q0 < q1 <= 1, got ({q0}, {q1})")
+    _, n, _, _, means, weights = _deserialize(sketch)
+    if n == 0 or len(means) == 0:
+        return math.nan
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    lo, hi = q0 * total, q1 * total
+    prev = cum - weights
+    overlap = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo), 0, None)
+    mass = overlap.sum()
+    if mass <= 0:
+        return math.nan
+    return float((means * overlap).sum() / mass)
+
+
 def n_items(sketch: bytes) -> int:
     return _deserialize(sketch)[1]
 

@@ -385,3 +385,60 @@ class TestBoundedQuantiles:
         with pytest.raises(ValueError, match="bounds"):
             approx_quantiles(ev, "value", [0.5], method="tdigest",
                              bounds=True)
+
+
+class TestTrimmedMean:
+    """approx_trimmed_mean: robust mean by rank-interval overlap."""
+
+    def test_exact_regime_matches_fractional_overlap_rule(self, spark):
+        from hyperloglog_spark import approx_trimmed_mean
+
+        cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        got = approx_trimmed_mean(
+            cust, "c_acctbal", 0.1, 0.9, k=65535
+        ).collect()[0]["trimmed_mean"]
+        vals = np.sort(np.array(
+            [r[0] for r in cust.select("c_acctbal").collect()]))
+        n = len(vals)
+        p = np.arange(1, n + 1, dtype=np.float64)
+        ov = np.clip(np.minimum(p, 0.9 * n) - np.maximum(p - 1, 0.1 * n),
+                     0, None)
+        want = (vals * ov).sum() / ov.sum()
+        assert abs(got - want) < 1e-9, (got, want)
+
+    def test_full_window_is_plain_mean(self, spark):
+        from hyperloglog_spark import approx_trimmed_mean
+
+        cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        got = approx_trimmed_mean(
+            cust, "c_acctbal", 0.0, 1.0, k=65535
+        ).collect()[0]["trimmed_mean"]
+        want = cust.agg(F.avg("c_acctbal")).collect()[0][0]
+        assert abs(got - want) < 1e-9
+
+    def test_estimation_regime_and_tdigest(self, spark):
+        from hyperloglog_spark import approx_trimmed_mean
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        vals = np.sort(np.array(
+            [r[0] for r in li.select("l_extendedprice").collect()]))
+        n = len(vals)
+        p = np.arange(1, n + 1, dtype=np.float64)
+        ov = np.clip(np.minimum(p, 0.9 * n) - np.maximum(p - 1, 0.1 * n),
+                     0, None)
+        exact = (vals * ov).sum() / ov.sum()
+        for method in ("kll", "tdigest"):
+            est = approx_trimmed_mean(
+                li, "l_extendedprice", 0.1, 0.9, method=method
+            ).collect()[0]["trimmed_mean"]
+            assert abs(est - exact) / abs(exact) < 0.01, (method, est, exact)
+
+    def test_grouped_and_bad_window(self, spark):
+        from hyperloglog_spark import approx_trimmed_mean
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        out = approx_trimmed_mean(
+            ev, "value", 0.25, 0.75, group_by="event_type").collect()
+        assert len(out) == 5
+        with pytest.raises(ValueError, match="q0"):
+            approx_trimmed_mean(ev, "value", 0.9, 0.1)
