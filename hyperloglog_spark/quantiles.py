@@ -22,6 +22,7 @@ from .sketch import kll, tdigest
 __all__ = [
     "KllAggregator",
     "KllRankAggregator",
+    "TDigestRankAggregator",
     "TDigestAggregator",
     "WeightedKllAggregator",
     "WeightedTDigestAggregator",
@@ -308,7 +309,27 @@ def _r_name(v: float) -> str:
     return "r" + f"{v:g}".replace("-", "m").replace(".", "_")
 
 
-class KllRankAggregator(KllAggregator):
+class _RankMixin:
+    """Finalize override shared by the rank (CDF) aggregators."""
+
+    def _init_rank(self, values: list[float]) -> None:
+        if not values:
+            raise ValueError("approx_rank needs at least one probe value")
+        self.values = [float(v) for v in values]
+        self.finalize_fields = [
+            T.StructField(_r_name(v), T.DoubleType(), True)
+            for v in self.values
+        ]
+
+    def finalize(self, sketch: bytes) -> dict[str, Any]:
+        rs = self.module.rank(sketch, np.array(self.values))
+        return {
+            _r_name(v): (None if np.isnan(r) else float(r))
+            for v, r in zip(self.values, rs)
+        }
+
+
+class KllRankAggregator(_RankMixin, KllAggregator):
     """KLL finalized to normalized RANKS (the CDF companion of the
     quantile surface): for each probe value v, the estimated fraction of
     rows <= v. Same build/merge as KllAggregator; only finalize differs.
@@ -320,20 +341,20 @@ class KllRankAggregator(KllAggregator):
 
     def __init__(self, values: list[float], **params):
         super().__init__([0.5], **params)   # qs unused by rank finalize
-        if not values:
-            raise ValueError("approx_rank needs at least one probe value")
-        self.values = [float(v) for v in values]
-        self.finalize_fields = [
-            T.StructField(_r_name(v), T.DoubleType(), True)
-            for v in self.values
-        ]
+        self._init_rank(values)
 
-    def finalize(self, sketch: bytes) -> dict[str, Any]:
-        rs = kll.rank(sketch, np.array(self.values))
-        return {
-            _r_name(v): (None if np.isnan(r) else float(r))
-            for v, r in zip(self.values, rs)
-        }
+
+class TDigestRankAggregator(_RankMixin, TDigestAggregator):
+    """t-digest CDF: piecewise-linear interpolation through centroid
+    midranks (Dunning & Ertl 2019) — typically tighter than KLL
+    mid-distribution (q(1-q)/delta shape) but with no worst-case bound;
+    use the KLL backend when a whp guarantee matters."""
+
+    name = "tdigest_rank"
+
+    def __init__(self, values: list[float], **params):
+        super().__init__([0.5], **params)
+        self._init_rank(values)
 
 
 def approx_rank(
@@ -341,15 +362,23 @@ def approx_rank(
     col: str,
     values: list[float],
     group_by: str | list[str] | None = None,
+    method: str = "kll",
     **params,
 ) -> DataFrame:
     """Approximate normalized ranks: for each probe value v, the fraction
     of rows with ``col`` <= v (per group when ``group_by`` is given) —
-    'what share of turns finish under 2 s' without an exact pass. KLL
-    backend; one scan, sketch-rows-only shuffle, same two-phase shape as
-    approx_quantiles."""
+    'what share of turns finish under 2 s' without an exact pass. One
+    scan, sketch-rows-only shuffle, same two-phase shape as
+    approx_quantiles. method='kll' (default, whp rank bound) or
+    'tdigest' (centroid-midrank interpolation, typically tighter
+    mid-distribution, no worst-case bound)."""
     group_by = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    agg = KllRankAggregator(values, **params)
+    if method == "kll":
+        agg: _QuantileAggregator = KllRankAggregator(values, **params)
+    elif method == "tdigest":
+        agg = TDigestRankAggregator(values, **params)
+    else:
+        raise ValueError(f"method must be 'kll' or 'tdigest', got {method!r}")
     return sketch_agg(_drop_null_rows(df, [col]), [col], agg, group_by)
 
 

@@ -227,6 +227,31 @@ def quantiles(sketch: bytes, qs) -> np.ndarray:
     return np.clip(out, vmin, vmax)
 
 
+def rank(sketch: bytes, values) -> np.ndarray:
+    """Estimated normalized rank (CDF) by the standard t-digest
+    interpolation (Dunning & Ertl 2019 §2.2): piecewise-linear through the
+    centroid midrank points (m_i, (cum_before_i + w_i/2)/W), anchored at
+    (vmin, 0) and (vmax, 1); clamped outside [vmin, vmax]. Error is
+    bounded by the local centroid-weight fraction (the q(1-q)/delta
+    accuracy shape). Deterministic."""
+    _, n, vmin, vmax, means, weights = _deserialize(sketch)
+    vals = np.atleast_1d(np.asarray(values, dtype=np.float64))
+    if n == 0 or len(means) == 0:
+        return np.full(len(vals), np.nan)
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    mid = (cum - weights / 2.0) / total
+    xp = np.concatenate(([vmin], means, [vmax]))
+    fp = np.concatenate(([0.0], mid, [1.0]))
+    # interp requires non-decreasing xp; centroid means can coincide with
+    # vmin/vmax — keep the sequence sorted (stable on ties)
+    order = np.argsort(xp, kind="stable")
+    out = np.interp(vals, xp[order], fp[order])
+    out[vals < vmin] = 0.0
+    out[vals >= vmax] = 1.0
+    return out
+
+
 def trimmed_mean(sketch: bytes, q0: float, q1: float) -> float:
     """Mean of the mass with normalized rank in (q0, q1] by centroid
     interval overlap: centroid i (mean m_i, weight w_i) occupies

@@ -442,3 +442,34 @@ class TestTrimmedMean:
         assert len(out) == 5
         with pytest.raises(ValueError, match="q0"):
             approx_trimmed_mean(ev, "value", 0.9, 0.1)
+
+
+class TestTDigestRank:
+    """t-digest backend of approx_rank: centroid-midrank interpolation."""
+
+    def test_kernel_accuracy_vs_exact_cdf(self):
+        from hyperloglog_spark.sketch import tdigest
+
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(5000)
+        sk = tdigest.from_values(vals)
+        sv = np.sort(vals)
+        for v in np.linspace(-2.5, 2.5, 21):
+            est = float(tdigest.rank(sk, [v])[0])
+            exact = np.searchsorted(sv, v, side="right") / len(sv)
+            assert abs(est - exact) < 0.006, (v, est, exact)
+        assert float(tdigest.rank(sk, [sv[0] - 1])[0]) == 0.0
+        assert float(tdigest.rank(sk, [sv[-1] + 1])[0]) == 1.0
+        assert np.isnan(tdigest.rank(tdigest.empty(), [0.0])[0])
+
+    def test_spark_method_tdigest(self, spark):
+        from hyperloglog_spark import approx_rank
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        n = li.count()
+        for probe in (20_000.0, 50_000.0, 80_000.0):
+            est = approx_rank(li, "l_extendedprice", [probe],
+                              method="tdigest").collect()[0][0]
+            exact = li.filter(
+                F.col("l_extendedprice") <= probe).count() / n
+            assert abs(est - exact) <= 0.01, (probe, est, exact)
