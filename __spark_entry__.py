@@ -574,6 +574,23 @@ def q_kll_trimmed_mean_acctbal(spark, sf_dir):
     ).select(F.round("trimmed_mean", 4).alias("trimmed_mean"))
 
 
+def q_kll_trimmed_mean_by_event_type(spark, sf_dir):
+    """GROUPED trimmed mean (10%-90%) of event values per event_type via
+    the two-phase grouped sketch path, k=65535 no-compaction regime —
+    per-group hash-exact against the partitioned fractional-overlap SQL
+    rule (exercises grouped build + multi-partial merge + finalize)."""
+    from hyperloglog_spark import approx_trimmed_mean
+
+    return (
+        approx_trimmed_mean(
+            _t(spark, sf_dir, "events"), "value", 0.1, 0.9,
+            group_by="event_type", k=65535,
+        )
+        .select("event_type", F.round("trimmed_mean", 4).alias("trimmed_mean"))
+        .orderBy("event_type")
+    )
+
+
 def q_kll_rank_prices(spark, sf_dir):
     """approx_rank (CDF surface): estimated fraction of lineitem rows with
     price <= probe, three probes. VALIDITY-HARNESS oracle: the exact rank
@@ -2041,6 +2058,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
     "multimodal_video_stats": q_multimodal_video_stats,
     "kll_trimmed_mean_acctbal": q_kll_trimmed_mean_acctbal,
+    "kll_trimmed_mean_by_event_type": q_kll_trimmed_mean_by_event_type,
     # -- driver-verified in CORRECTNESS_r03 (or earlier) --
     "hll_distinct_region": q_hll_distinct_region,
     "hll_distinct_nation": q_hll_distinct_nation,
@@ -2652,6 +2670,21 @@ ORDER BY query_id, rank
 SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
 FROM lineitem GROUP BY l_partkey
 ORDER BY exact_count DESC, l_partkey LIMIT 5
+""",
+    "kll_trimmed_mean_by_event_type": """
+WITH o AS (
+  SELECT event_type, value AS x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value)
+              AS DOUBLE) AS p,
+         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM events WHERE value IS NOT NULL
+), ov AS (
+  SELECT event_type, x,
+         greatest(0, least(p, 0.9 * n) - greatest(p - 1, 0.1 * n)) AS w
+  FROM o
+)
+SELECT event_type, round(sum(x * w) / sum(w), 4) AS trimmed_mean
+FROM ov GROUP BY event_type ORDER BY event_type
 """,
     "kll_trimmed_mean_acctbal": """
 WITH o AS (

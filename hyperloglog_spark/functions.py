@@ -358,11 +358,14 @@ def hll_merged_sketch(
     cols: str | list[str],
     p: int = hll.DEFAULT_P,
     hashing: str = "spark",
+    fan_in: int = 32,
 ) -> bytes:
-    """Distributed partial build + driver tree-merge; returns sketch bytes."""
+    """Distributed partial build + CLUSTER-side tree-merge (one row to the
+    driver); ``fan_in`` caps partials per merge task — lower it for
+    byte-heavy custom precisions."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     agg = HllAggregator(p=p, hashing=hashing)
-    return collect_merged(_drop_null_rows(df, cols), cols, agg)
+    return collect_merged(_drop_null_rows(df, cols), cols, agg, fan_in=fan_in)
 
 
 @F.pandas_udf(T.LongType())

@@ -87,10 +87,12 @@ class FdAggregator(SketchAggregator):
         return {"n_rows_kept": n, "delta_sum": delta, "fro2": fro2}
 
 
-def fd_build(df: DataFrame, vec_col: str, ell: int = fd.DEFAULT_ELL) -> bytes:
+def fd_build(df: DataFrame, vec_col: str, ell: int = fd.DEFAULT_ELL,
+             fan_in: int = 32) -> bytes:
     """Distributed FD build -> driver-held sketch bytes (<= 2*ell*d*8 + 22)."""
     return collect_merged(
-        df.filter(F.col(vec_col).isNotNull()), [vec_col], FdAggregator(ell)
+        df.filter(F.col(vec_col).isNotNull()), [vec_col], FdAggregator(ell),
+        fan_in=fan_in,
     )
 
 

@@ -77,15 +77,18 @@ def bloom_build(
     fpp: float = 0.01,
     m_bits: int | None = None,
     k: int | None = None,
+    fan_in: int = 32,
 ) -> bytes:
-    """Distributed build -> driver-held filter bytes."""
+    """Distributed build -> cluster-side tree-merge -> driver-held filter
+    bytes. A billion-key filter is ~1 GiB per partial: ``fan_in`` caps how
+    many of those any merge task holds (lower it for very large m_bits)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     if m_bits is None or k is None:
         if expected_items is None:
             raise ValueError("pass expected_items (or explicit m_bits and k)")
         m_bits, k = bloom.optimal_params(expected_items, fpp)
     agg = BloomAggregator(m_bits, k)
-    return collect_merged(_drop_null_rows(df, cols), cols, agg)
+    return collect_merged(_drop_null_rows(df, cols), cols, agg, fan_in=fan_in)
 
 
 def bloom_agg(
@@ -255,12 +258,13 @@ def cbf_build(
     log2_m: int = cbf.DEFAULT_LOG2_M,
     k: int = cbf.DEFAULT_K,
     hashing: str = "xxhash64",
+    fan_in: int = 32,
 ) -> bytes:
     """Distributed counting-Bloom build -> driver-held filter bytes.
     ``delta_col`` (int, +insert/-delete) defaults to +1 per row."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     agg = CbfAggregator(log2_m, k, delta_col=delta_col, hashing=hashing)
-    return collect_merged(_drop_null_rows(df, cols), cols, agg)
+    return collect_merged(_drop_null_rows(df, cols), cols, agg, fan_in=fan_in)
 
 
 def cbf_agg(
