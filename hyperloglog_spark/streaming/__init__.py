@@ -5,6 +5,7 @@ from .sketches import (
     sketch_shard_sink,
     streaming_approx_distinct,
     streaming_approx_quantiles,
+    streaming_approx_quantiles_weighted,
     streaming_cms_sketches,
     streaming_sketch_agg,
     streaming_windowed_distinct,
@@ -16,6 +17,7 @@ __all__ = [
     "streaming_sketch_agg",
     "streaming_approx_distinct",
     "streaming_approx_quantiles",
+    "streaming_approx_quantiles_weighted",
     "streaming_cms_sketches",
     "streaming_windowed_distinct",
 ]

@@ -168,6 +168,36 @@ def streaming_approx_quantiles(
     )
 
 
+def streaming_approx_quantiles_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    group_by: list[str] | str,
+    qs: list[float],
+    method: str = "tdigest",
+    **params,
+) -> DataFrame:
+    """Streaming WEIGHTED quantiles per group (update mode): each row
+    contributes ``weight_col`` units of mass — the dedup-aware quantile
+    form, continuously. Same aggregators as the batch
+    ``approx_quantiles_weighted`` (t-digest: arbitrary positive weights;
+    KLL: integer weights, exact binary-decomposition placement) riding the
+    generic skeleton; in the KLL no-compaction regime the streamed state
+    is byte-identical to the batch build over the same rows."""
+    from ..functions import _drop_null_rows
+    from ..quantiles import WeightedKllAggregator, WeightedTDigestAggregator
+
+    if method == "tdigest":
+        agg = WeightedTDigestAggregator(qs, weight_col=weight_col, **params)
+    elif method == "kll":
+        agg = WeightedKllAggregator(qs, weight_col=weight_col, **params)
+    else:
+        raise ValueError(f"method must be 'kll' or 'tdigest', got {method!r}")
+    return streaming_sketch_agg(
+        _drop_null_rows(df, [col, weight_col]), [col], agg, group_by
+    )
+
+
 def streaming_cms_sketches(
     df: DataFrame,
     col: str,

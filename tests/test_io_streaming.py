@@ -557,3 +557,52 @@ def test_streaming_weighted_cms_bytes_match_batch(spark, tmp_path):
     want = bytes(sketch_agg(batch, ["key"], agg, ["g"],
                             finalize=False).first()["sketch"])
     assert sk == want
+
+
+def test_streaming_weighted_kll_bytes_match_batch(spark, tmp_path):
+    """Weighted KLL through the generic streaming skeleton, no-compaction
+    regime (k >= total mass): binary-decomposition placement makes the
+    level multisets independent of micro-batch splits, so the streamed
+    state is byte-identical to the batch build, and the emitted quantiles
+    match the batch surface exactly."""
+    from hyperloglog_spark.quantiles import WeightedKllAggregator
+    from hyperloglog_spark.engine.aggregate import sketch_agg
+    from hyperloglog_spark.streaming import (
+        streaming_approx_quantiles_weighted, streaming_sketch_agg,
+    )
+
+    rows = [("g", float(i % 37), (i % 5) + 1) for i in range(600)]
+    batch = spark.createDataFrame(rows, ["g", "x", "w"])
+    src = str(tmp_path / "src-wkll")
+    batch.repartition(3).write.parquet(src)
+
+    agg = WeightedKllAggregator([0.5], weight_col="w", k=8192)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_sketch_agg(stream, "x", agg, "g", emit_sketch=True)
+    (out.writeStream.format("memory").queryName("q_wkll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-wkll"))
+        .trigger(availableNow=True).start().awaitTermination())
+    emitted = spark.sql("SELECT * FROM q_wkll").collect()
+    assert emitted, "no streaming emission"
+    sk = bytes(emitted[-1]["sketch"])
+    want = bytes(sketch_agg(batch, ["x"], agg, ["g"],
+                            finalize=False).first()["sketch"])
+    assert sk == want
+
+    # the public surface end to end (estimates, update mode)
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    out2 = streaming_approx_quantiles_weighted(
+        stream2, "x", "w", "g", [0.25, 0.5, 0.75], method="kll", k=8192)
+    (out2.writeStream.format("memory").queryName("q_wkll2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck-wkll2"))
+        .trigger(availableNow=True).start().awaitTermination())
+    got = spark.sql("SELECT * FROM q_wkll2").collect()[-1]
+    from hyperloglog_spark import approx_quantiles_weighted
+
+    want_row = approx_quantiles_weighted(
+        batch, "x", "w", [0.25, 0.5, 0.75], group_by="g",
+        method="kll", k=8192).collect()[0]
+    for c in ("q25", "q5", "q75"):
+        assert got[c] == want_row[c], (c, got[c], want_row[c])
