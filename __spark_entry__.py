@@ -289,18 +289,27 @@ def q_cms_weighted_topk_partkeys(spark, sf_dir):
 
 
 def q_cms_top_ngrams_documents(spark, sf_dir):
-    """Corpus-wide heavy-hitter word 3-grams: per-doc n-gram arrays built
-    in codegen, exploded inline (pipelined, no shuffle), then the CMS+MG
-    two-phase top-k — only sketch/candidate rows reach the Exchange, never
-    the gram stream. The boilerplate detector a corpus audit runs."""
-    from hyperloglog_spark import cms_topk
+    """Corpus-wide heavy-hitter word 3-grams, EXACT top-10 at sketch cost:
+    per-doc n-gram arrays built in codegen, exploded inline (pipelined, no
+    shuffle), then the estimate-then-verify two-phase top-k
+    (``cms_topk_verified``): CMS+MG propose margin*k candidates — only
+    sketch/candidate rows reach the Exchange, never the gram stream — and
+    a candidate-only rescan (IN-filter pushed to the scan) returns exact
+    counts. Raw CMS point estimates are NOT returned: the 3-gram value
+    space collides at scale (the round-4 red row), and the verified pass
+    is the production answer — sketch narrows 10^9 grams to ~80, the
+    exact pass charges only for those. log2_w=18/margin=8 size the
+    proposal stage for flat gram distributions; the exactness of the
+    output depends only on candidate survival, which the MG bound
+    guarantees for any gram that is a true heavy hitter."""
+    from hyperloglog_spark import cms_topk_verified
     from hyperloglog_spark.pipeline.text import _ngram_array
 
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         F.split(F.lower(F.col("text")), " ").alias("__w")
     ).select(F.explode(_ngram_array("__w", 3)).alias("gram"))
-    return cms_topk(grams, "gram", k=10)
+    return cms_topk_verified(grams, "gram", k=10, margin=8, log2_w=18)
 
 
 def q_countsketch_f2_event_types(spark, sf_dir):
@@ -2152,8 +2161,8 @@ grams AS (
   SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
   FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks)
 )
-SELECT gram, count(*) AS approx_count FROM grams
-GROUP BY gram ORDER BY approx_count DESC, gram LIMIT 10
+SELECT gram, count(*) AS exact_count FROM grams
+GROUP BY gram ORDER BY exact_count DESC, gram LIMIT 10
 """,
     "countsketch_f2_event_types": """
 WITH h AS (

@@ -252,6 +252,8 @@ def tree_merge_rows(
     certificate-lawful otherwise). No level's task ever holds more than
     ``fan_in`` partials. Returns a DataFrame with the single SKETCH_COL
     column and at most one row (zero when ``partials`` is empty)."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2 (got {fan_in})")
     # upper bound on partial rows (empty partitions emit no row)
     n = partials.rdd.getNumPartitions()
     schema = T.StructType(

@@ -66,6 +66,26 @@ def _hash_expr(cols: list[str], hashing: str) -> F.Column:
     raise ValueError(f"hashing must be 'xxhash64' or 'md5': {hashing!r}")
 
 
+def _int_weight_expr(weight_col: str) -> F.Column:
+    """Checked long cast for a weight column: raises on fractional or
+    negative values instead of silently floor-truncating them (both the
+    CMS counter update and the verified exact rescan promise integer
+    total mass — a double weight like 3.7 would otherwise count as 3
+    in the rescan while the docstring claims exactness)."""
+    c = F.col(weight_col)
+    return (
+        F.when(
+            (c < 0) | (c.cast("double") != F.floor(c.cast("double"))),
+            F.raise_error(F.concat(
+                F.lit("cms weights must be non-negative integers, got "),
+                c.cast("string"),
+            )),
+        )
+        .otherwise(c)
+        .cast("long")
+    )
+
+
 class CmsAggregator(SketchAggregator):
     """Count-min over hashed keys. ``weight_col`` turns it into an
     approximate SUM-by-key: each row adds its (non-negative integer)
@@ -198,7 +218,7 @@ def cms_topk(
     col_field = next(f for f in src.schema.fields if f.name == col)
 
     weighted = weight_col is not None
-    wcol = (F.col(weight_col).cast("long") if weighted
+    wcol = (_int_weight_expr(weight_col) if weighted
             else F.lit(1).cast("long"))
     proj = src.select(F.col(col).alias("v"), F.xxhash64(col).alias("h"),
                       wcol.alias("w"))
@@ -350,7 +370,7 @@ def cms_topk_verified(
                 T.StructField("exact_count", T.LongType(), False),
             ])
         )
-    wcol = (F.col(weight_col).cast("long") if weight_col
+    wcol = (_int_weight_expr(weight_col) if weight_col
             else F.lit(1).cast("long"))
     src = _drop_null_rows(df, [col])
     return (

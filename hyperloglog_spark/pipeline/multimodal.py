@@ -3,14 +3,21 @@
 Images/audio/video travel as ``binary`` columns beside a metadata struct
 (kind, width/height or sample rate, codec). The Spark-side machinery —
 schema, partition sizing, Arrow batch shape, mapInPandas UDF signatures —
-is real and tested; the actual codec step is STUBBED because no image or
-audio library exists in this container:
+is real and tested, and so are the codecs for the UNCOMPRESSED container
+formats, implemented in pure numpy with no image/audio library:
 
-- ``decode_image`` raises ``NotImplementedError`` (clearly marked) — swap
-  in PIL/libvips on a real cluster, the surrounding plumbing is unchanged.
-- ``fake_decode_features`` is the deterministic stand-in used by tests and
-  queries: byte-histogram moments of the payload, a pure function of the
-  bytes, vectorized with numpy over each Arrow batch.
+- images: Netpbm ``P5``/``P6`` (PGM/PPM) and uncompressed 24-bit BMP
+  (``decode_image``), with resize/grayscale/feature extraction over the
+  decoded pixel array;
+- audio: RIFF/WAVE PCM16 (``decode_audio``) with RMS/peak/duration stats;
+- video: YUV4MPEG2 (Y4M) frame parsing (``decode_video``) with per-frame
+  luma stats.
+
+COMPRESSED codecs (JPEG/PNG/MP3/H.264) stay behind an import-guarded PIL
+seam (``NotImplementedError`` when the library is absent) — swap in
+PIL/libvips/ffmpeg on a real cluster; the surrounding plumbing, schema,
+and partitioning are unchanged. ``fake_decode_features`` (deterministic
+byte-histogram moments) remains for payloads with no parseable container.
 
 At 100 TB of media, the rule that matters is PARTITION BY BYTES, not rows:
 ``coalesce_for_payloads`` re-targets partitions so each holds roughly

@@ -158,19 +158,20 @@ def update_weighted(sketch: bytes, values: np.ndarray,
     weight 2^h by the KLL invariant, so inserting the value once into every
     level h with bit h set in w adds EXACTLY w units of mass — no sampling
     error is introduced by the weighting itself (unlike a compaction, which
-    halves a sorted buffer). Rows with NaN values or NaN/non-positive
+    halves a sorted buffer). Rows with NaN values or non-finite/non-positive
     weights are dropped (mirrors the weighted t-digest); non-integral
-    weights raise. All-ones weights produce bytes IDENTICAL to ``update``:
+    weights and weights >= 2^62 (int64-cast overflow) raise. All-ones
+    weights produce bytes IDENTICAL to ``update``:
     the level-0 feed, n accounting, and compaction offsets coincide."""
     st = _deserialize(sketch)
     vals = np.asarray(values, dtype=np.float64)
     ws = np.asarray(weights, dtype=np.float64)
     if len(ws) != len(vals):
         raise ValueError("values and weights must align")
-    keep = ~np.isnan(vals) & ~np.isnan(ws) & (ws > 0)
+    keep = ~np.isnan(vals) & np.isfinite(ws) & (ws > 0)
     vals, ws = vals[keep], ws[keep]
-    if np.any(ws != np.floor(ws)):
-        raise ValueError("kll weights must be positive integers")
+    if np.any(ws != np.floor(ws)) or np.any(ws >= 2.0**62):
+        raise ValueError("kll weights must be positive integers < 2^62")
     w64 = ws.astype(np.int64)
     if len(vals) == 0:
         return bytes(sketch)

@@ -182,6 +182,11 @@ def main() -> None:
         # at both levels (runs may record a single engine via --engines)
         engs = [e for e in ("arrow", "jvm")
                 if any(e in r["2"] and e in r["8"] for r in recs)]
+        # engines measured at only ONE level (e.g. a --engines run that
+        # recorded a single concurrency) still get a wall-time row — with
+        # no speedup/efficiency — instead of silently vanishing
+        single = [e for e in ("arrow", "jvm") if e not in engs
+                  and any(e in r["2"] or e in r["8"] for r in recs)]
         present = lambda e: [r for r in recs if e in r["2"] and e in r["8"]]
         bb = {c: {e: min(r[str(c)][e] for r in present(e))
                   for e in engs} for c in levels}
@@ -199,6 +204,18 @@ def main() -> None:
                 "scaling_efficiency": round(speed / 4, 3),
                 "best_same_run_efficiency": round(sr[eng], 3),
             }
+        out["single_level_engines"] = single
+        for eng in single:
+            out[eng] = {}
+            for c in levels:
+                ts = [r[str(c)][eng] for r in recs if eng in r[str(c)]]
+                if ts:
+                    out[eng][f"exec{c}"] = {
+                        "sec": round(min(ts), 3),
+                        "rows_per_sec": int(nn / min(ts)),
+                    }
+            out[eng]["note"] = ("measured at one level only — no "
+                                "scaling efficiency")
         out["estimate"] = recs[0].get("estimate")
         out["n_runs"] = len(recs)
         return out
@@ -233,6 +250,17 @@ def main() -> None:
             f"### {titles[e]}, 2 -> 8 executors\n\n{table(st, e)}"
             for e in st["engines"]
         )
+        for e in st.get("single_level_engines", []):
+            rows = "\n".join(
+                f"| {lv.removeprefix('exec')} | {st[e][lv]['sec']} | "
+                f"{st[e][lv]['rows_per_sec']:,} |"
+                for lv in ("exec2", "exec8") if lv in st[e]
+            )
+            eng_parts += (
+                f"\n### {titles[e]} — single level only\n\n"
+                f"| executors | wall (s) | turns/sec |\n|---|---|---|\n"
+                f"{rows}\n\n_{st[e]['note']}_\n"
+            )
         sections.append(f"""## {nn:,} turns ({st['n_runs']} recorded run(s))
 
 {eng_parts}
