@@ -1190,6 +1190,204 @@ def q_streaming_cms_event_type_counts(spark, sf_dir):
     )
 
 
+def q_streaming_weighted_price_quantiles(spark, sf_dir):
+    """Structured Streaming WEIGHTED KLL quantiles (VERDICT r4 #2): the
+    lineitem table replayed as a bounded file stream through
+    ``streaming_approx_quantiles_weighted`` (method='kll': exact
+    binary-decomposition weight placement, same mergeable aggregator as
+    the driver-green batch row ``kll_weighted_price_quantiles``), final
+    state = highest-batch emit. VALIDITY-HARNESS oracle identical to the
+    batch row: (q_permille, exact weighted quantile by the cumulative-mass
+    rule, est within 1/32 rank slack)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from hyperloglog_spark.streaming import (
+        streaming_approx_quantiles_weighted,
+    )
+
+    static = _t(spark, sf_dir, "lineitem")
+    src_dir = tempfile.mkdtemp(prefix="wkll_gate_stream_src_")
+    src = f"{sf_dir}/lineitem.parquet"
+    try:
+        os.symlink(src, os.path.join(src_dir, "lineitem.parquet"))
+    except OSError:                              # pragma: no cover
+        shutil.copy(src, os.path.join(src_dir, "lineitem.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src_dir)
+        .withColumn("__g", F.lit("all"))
+    )
+    out = streaming_approx_quantiles_weighted(
+        stream, "l_extendedprice", "l_quantity", "__g",
+        [0.25, 0.5, 0.75], method="kll",
+    )
+    out_dir = tempfile.mkdtemp(prefix="wkll_gate_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="wkll_gate_stream_ckpt_")
+
+    def write_batch(bdf, bid: int) -> None:
+        (bdf.withColumn("__bid", F.lit(bid))
+         .write.mode("append").parquet(out_dir))
+
+    (out.writeStream.foreachBatch(write_batch)
+     .outputMode("update")
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+    est = (
+        spark.read.parquet(out_dir)
+        .orderBy(F.desc("__bid")).limit(1).collect()[0]
+    )
+    ests = {250: est["q25"], 500: est["q5"], 750: est["q75"]}
+
+    total = static.agg(F.sum("l_quantity")).collect()[0][0]
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = static.select(
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(w).alias("cw"),
+    )
+    eps = 1.0 / 32.0
+    aggs = []
+    for qpm in (250, 500, 750):
+        q = qpm / 1000.0
+        for tag, qq in (("lo", q - eps), ("mid", q), ("hi", q + eps)):
+            aggs.append(
+                F.min(F.when(F.col("cw") >= F.lit(qq) * F.lit(float(total)),
+                             F.col("p"))).alias(f"{tag}_{qpm}")
+            )
+    ex = cum.agg(*aggs).collect()[0]
+    rows = []
+    for qpm in (250, 500, 750):
+        in_bound = bool(ex[f"lo_{qpm}"] <= ests[qpm] <= ex[f"hi_{qpm}"])
+        rows.append((qpm, float(ex[f"mid_{qpm}"]), in_bound))
+    return spark.createDataFrame(
+        rows, "q_permille bigint, exact_q double, est_in_bound boolean"
+    ).orderBy("q_permille")
+
+
+def _transcripts_view(spark, sf_dir):
+    """North-star transcripts table (conv_id, turn_idx, role, text, tool,
+    ts — the BASELINE.json input_hint schema) synthesized DETERMINISTICALLY
+    from the driver-registered parquet tables: events supplies the
+    conversation stream (user_id -> conv, event_id order -> turn order),
+    documents supplies real text via a broadcast modulo join. Every step
+    is SQL-replayable so gate oracles rebuild the identical table in
+    DuckDB (the `transcripts AS (...)` CTE in _TRANSCRIPTS_SQL)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .join(F.broadcast(docs),
+              F.col("event_id") % F.lit(n_docs) == F.col("doc_id"))
+        .select(
+            F.concat(
+                F.lit("conv-"),
+                F.lpad(F.col("user_id").cast("string"), 8, "0"),
+            ).alias("conv_id"),
+            "turn_idx",
+            F.col("event_type").alias("role"),
+            "text",
+            F.when(F.col("event_type") == "click", F.lit("browser"))
+             .when(F.col("event_type") == "error", F.lit("bash"))
+             .alias("tool"),
+            "ts",
+        )
+    )
+
+
+_TRANSCRIPTS_SQL = """
+transcripts AS (
+  SELECT 'conv-' || lpad(CAST(e.user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id)
+              - 1 AS INT) AS turn_idx,
+         e.event_type AS role, d.text AS text,
+         CASE WHEN e.event_type = 'click' THEN 'browser'
+              WHEN e.event_type = 'error' THEN 'bash' END AS tool,
+         e.ts AS ts
+  FROM events e
+  JOIN documents d
+    ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)
+  WHERE e.user_id IS NOT NULL AND e.event_id IS NOT NULL
+)"""
+
+
+def q_tdigest_rank_turn_len_transcripts(spark, sf_dir):
+    """approx_rank(method='tdigest') on the NORTH-STAR transcripts schema
+    (VERDICT r4 #3): 'what share of turns are <= L characters' over
+    length(text) of the synthesized transcripts table — the reference's
+    turn-length CDF use-case (SURVEY §2.2) on the BASELINE.json input
+    shape instead of a TPC fixture. VALIDITY-HARNESS oracle: exact_rank
+    is the same IEEE count/n division on both sides; the flag asserts
+    |est - exact| <= 0.05 (t-digest centroid-midrank interpolation is
+    typically ~10x tighter; 0.05 is the generous no-worst-case-bound
+    slack)."""
+    from hyperloglog_spark import approx_rank
+
+    tx = _transcripts_view(spark, sf_dir).select(
+        F.length("text").cast("double").alias("turn_chars")
+    )
+    probes = (150, 300, 450)
+    est = approx_rank(
+        tx, "turn_chars", [float(p) for p in probes], method="tdigest"
+    ).collect()[0]
+    n = tx.count()
+    ex = tx.agg(*[
+        F.sum((F.col("turn_chars") <= F.lit(float(p))).cast("long"))
+        .alias(f"c_{p}")
+        for p in probes
+    ]).collect()[0]
+    rows = []
+    for p in probes:
+        exact = ex[f"c_{p}"] / n
+        rows.append((p, float(exact),
+                     bool(abs(est[f"r{p}"] - exact) <= 0.05)))
+    return spark.createDataFrame(
+        rows, "probe bigint, exact_rank double, est_in_bound boolean"
+    ).orderBy("probe")
+
+
+def q_trimmed_mean_latency_transcripts(spark, sf_dir):
+    """Trimmed mean (10%-90%) of per-turn latency on the NORTH-STAR
+    transcripts schema (VERDICT r4 #3): ts-delta within each conversation
+    in turn order (one conv_id Window shuffle; the sketch agg afterwards
+    ships level arrays only), k=65535 no-compaction regime -> the
+    interval-overlap semantics are EXACTLY the fractional-overlap
+    order-statistic rule, hash-exact against the SQL window replay
+    (epoch subtraction is the same IEEE double arithmetic both sides;
+    session TZ pinned UTC)."""
+    from pyspark.sql import Window
+
+    from hyperloglog_spark import approx_trimmed_mean
+
+    tx = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (
+        tx.select("conv_id", "turn_idx", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+            ).alias("latency_s")
+        )
+    )
+    return approx_trimmed_mean(
+        lat, "latency_s", 0.1, 0.9, k=65535
+    ).select(F.round("trimmed_mean", 4).alias("trimmed_mean"))
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic bottom-k-by-hash sample (the mergeable min-k form of
     uniform sampling: partitioning-invariant, union = re-take-k). md5 keys
@@ -2043,59 +2241,17 @@ def q_asof_join_purchase_view(spark, sf_dir):
 # remainder and overflow past position 50, where the local
 # scripts/check_entry.py run (identical harness) still covers them.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-verified before round 4 (r3 window miss) --
-    "streaming_distinct_event_users": q_streaming_distinct_event_users,
-    "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
-    "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
-    "cms_weighted_topk_partkeys": q_cms_weighted_topk_partkeys,
-    "countsketch_f2_event_types": q_countsketch_f2_event_types,
-    "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
-    "curate_documents": q_curate_documents,
-    "text_repetition_stats": q_text_repetition_stats,
-    "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
-    "theta_distinct_by_priority": q_theta_distinct_by_priority,
-    "asof_join_purchase_view": q_asof_join_purchase_view,
-    "ngram_contamination_documents": q_ngram_contamination_documents,
+    # The driver gate verifies the FIRST 50 entries each round. Window
+    # policy (VERDICT r4 #4): new/changed rows first, then every entry
+    # whose last driver check predates the current code, so no entry goes
+    # two rounds without driver verification.
+    # -- new in round 5 --
+    "streaming_weighted_price_quantiles": q_streaming_weighted_price_quantiles,
+    "tdigest_rank_turn_len_transcripts": q_tdigest_rank_turn_len_transcripts,
+    "trimmed_mean_latency_transcripts": q_trimmed_mean_latency_transcripts,
+    # -- changed in round 5 (cms_topk -> cms_topk_verified; the r4 red row) --
     "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
-    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
-    # -- new in round 4 --
-    "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
-    "multimodal_decode_stats": q_multimodal_decode_stats,
-    "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
-    "kll_rank_prices": q_kll_rank_prices,
-    "multimodal_audio_stats": q_multimodal_audio_stats,
-    "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
-    "multimodal_video_stats": q_multimodal_video_stats,
-    "kll_trimmed_mean_acctbal": q_kll_trimmed_mean_acctbal,
-    "kll_trimmed_mean_by_event_type": q_kll_trimmed_mean_by_event_type,
-    # -- driver-verified in CORRECTNESS_r03 (or earlier) --
-    "hll_distinct_region": q_hll_distinct_region,
-    "hll_distinct_nation": q_hll_distinct_nation,
-    "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
-    "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
-    "hll_packed_binary": q_hll_packed_binary,
-    "hll_rollup_event_users": q_hll_rollup_event_users,
-    "hll_set_algebra_users": q_hll_set_algebra_users,
-    "cms_rollup_top_event_types": q_cms_rollup_top_event_types,
-    "hll_multi_column_profile": q_hll_multi_column_profile,
-    "hll_bounded_event_users": q_hll_bounded_event_users,
-    "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
-    "hll_distinct_customers": q_hll_distinct_customers,
-    "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
-    "cms_event_type_counts": q_cms_event_type_counts,
-    "cms_top5_partkeys": q_cms_top5_partkeys,
-    "embedding_topk_pq": q_embedding_topk_pq,
-    "embedding_topk_ivfpq": q_embedding_topk_ivfpq,
-    "embedding_topk_ivfpq_residual": q_embedding_topk_ivfpq_residual,
-    "fd_gram_embeddings": q_fd_gram_embeddings,
-    "fd_gram_by_label": q_fd_gram_by_label,
-    "tdigest_weighted_price_quantiles": q_tdigest_weighted_price_quantiles,
-    "cbf_deleted_membership": q_cbf_deleted_membership,
-    "bloom_custkey_members": q_bloom_custkey_members,
-    "bloom_orders_covered": q_bloom_orders_covered,
-    "kll_price_quantiles": q_kll_price_quantiles,
-    "kll_acctbal_by_segment": q_kll_acctbal_by_segment,
-    "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
+    # -- last driver-verified in r3; not re-checked since the r4/r5 churn --
     "tdigest_acctbal_by_segment": q_tdigest_acctbal_by_segment,
     "orders_per_priority": q_orders_per_priority,
     "dedup_exact_documents": q_dedup_exact_documents,
@@ -2128,6 +2284,59 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_features": q_multimodal_features,
+    # -- r4-verified rows most touched by the round-5 code churn (weight
+    #    validation in cms_topk/kll, tree-merge fan_in, streaming skeleton) --
+    "cms_weighted_qty_by_partkey": q_cms_weighted_qty_by_partkey,
+    "cms_weighted_topk_partkeys": q_cms_weighted_topk_partkeys,
+    "cms_topk_verified_partkeys": q_cms_topk_verified_partkeys,
+    "kll_weighted_price_quantiles": q_kll_weighted_price_quantiles,
+    "kll_trimmed_mean_acctbal": q_kll_trimmed_mean_acctbal,
+    "kll_trimmed_mean_by_event_type": q_kll_trimmed_mean_by_event_type,
+    "kll_rank_prices": q_kll_rank_prices,
+    "kll_price_quantiles_bounded": q_kll_price_quantiles_bounded,
+    "streaming_distinct_event_users": q_streaming_distinct_event_users,
+    "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
+    "multimodal_decode_stats": q_multimodal_decode_stats,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
+    "multimodal_video_stats": q_multimodal_video_stats,
+    "bloom_custkey_members": q_bloom_custkey_members,
+    # ---------------- driver 50-window boundary ----------------
+    # -- r4-verified, unchanged since (local check_entry sweep covers them) --
+    "countsketch_f2_event_types": q_countsketch_f2_event_types,
+    "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
+    "curate_documents": q_curate_documents,
+    "text_repetition_stats": q_text_repetition_stats,
+    "theta_set_ops_custkeys": q_theta_set_ops_custkeys,
+    "theta_distinct_by_priority": q_theta_distinct_by_priority,
+    "asof_join_purchase_view": q_asof_join_purchase_view,
+    "ngram_contamination_documents": q_ngram_contamination_documents,
+    "embedding_topk_ivf_trained": q_embedding_topk_ivf_trained,
+    "hll_distinct_region": q_hll_distinct_region,
+    "hll_distinct_nation": q_hll_distinct_nation,
+    "hll_distinct_event_users_p16": q_hll_distinct_event_users_p16,
+    "hll_jvm_engine_event_users": q_hll_jvm_engine_event_users,
+    "hll_packed_binary": q_hll_packed_binary,
+    "hll_rollup_event_users": q_hll_rollup_event_users,
+    "hll_set_algebra_users": q_hll_set_algebra_users,
+    "cms_rollup_top_event_types": q_cms_rollup_top_event_types,
+    "hll_multi_column_profile": q_hll_multi_column_profile,
+    "hll_bounded_event_users": q_hll_bounded_event_users,
+    "hll_distinct_doc_text_by_lang": q_hll_distinct_doc_text_by_lang,
+    "hll_distinct_customers": q_hll_distinct_customers,
+    "hll_distinct_order_cust_pairs": q_hll_distinct_order_cust_pairs,
+    "cms_event_type_counts": q_cms_event_type_counts,
+    "cms_top5_partkeys": q_cms_top5_partkeys,
+    "embedding_topk_pq": q_embedding_topk_pq,
+    "embedding_topk_ivfpq": q_embedding_topk_ivfpq,
+    "embedding_topk_ivfpq_residual": q_embedding_topk_ivfpq_residual,
+    "fd_gram_embeddings": q_fd_gram_embeddings,
+    "fd_gram_by_label": q_fd_gram_by_label,
+    "tdigest_weighted_price_quantiles": q_tdigest_weighted_price_quantiles,
+    "cbf_deleted_membership": q_cbf_deleted_membership,
+    "bloom_orders_covered": q_bloom_orders_covered,
+    "kll_price_quantiles": q_kll_price_quantiles,
+    "kll_acctbal_by_segment": q_kll_acctbal_by_segment,
+    "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2741,6 +2950,47 @@ SELECT q.q_permille,
        TRUE AS est_in_bound
 FROM (VALUES (250), (500), (750)) q(q_permille)
 ORDER BY q.q_permille
+""",
+    "streaming_weighted_price_quantiles": """
+WITH cum AS (
+  SELECT l_extendedprice AS p,
+         sum(l_quantity) OVER (ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+), tot AS (SELECT sum(l_quantity) AS w FROM lineitem)
+SELECT q.q_permille,
+       (SELECT min(p) FROM cum, tot
+        WHERE cw >= (q.q_permille / 1000.0) * tot.w) AS exact_q,
+       TRUE AS est_in_bound
+FROM (VALUES (CAST(250 AS BIGINT)), (500), (750)) q(q_permille)
+ORDER BY q.q_permille
+""",
+    "tdigest_rank_turn_len_transcripts": f"""
+WITH {_TRANSCRIPTS_SQL},
+tl AS (SELECT CAST(length(text) AS DOUBLE) AS c FROM transcripts)
+SELECT p.probe,
+       (SELECT CAST(count(*) FILTER (c <= p.probe) AS DOUBLE) / count(*)
+        FROM tl) AS exact_rank,
+       TRUE AS est_in_bound
+FROM (VALUES (CAST(150 AS BIGINT)), (300), (450)) p(probe)
+ORDER BY p.probe
+""",
+    "trimmed_mean_latency_transcripts": f"""
+WITH {_TRANSCRIPTS_SQL},
+lat AS (
+  SELECT epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx)) AS x
+  FROM transcripts
+), l AS (SELECT x FROM lat WHERE x IS NOT NULL),
+o AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x) AS DOUBLE) AS p,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM l
+), ov AS (
+  SELECT x, greatest(0, least(p, 0.9 * n) - greatest(p - 1, 0.1 * n)) AS w
+  FROM o
+)
+SELECT round(sum(x * w) / sum(w), 4) AS trimmed_mean FROM ov
 """,
     "tdigest_weighted_price_quantiles": """
 WITH cum AS (

@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 __all__ = ["session_window_stats"]
 
 
+def _needs_aqe_session_pin(spark) -> bool:
+    """Whether the batch-mode repartition pin (below) is required.
+
+    Round 3 observed (first-hand, Spark 4.1.2 local mode) AQE's coalesced
+    shuffle read feeding MergingSessions ZERO rows — every session lost,
+    even on a 3-row input; correct with AQE off. Round 5 could NOT
+    re-reproduce on the same build across seven shapes (local relation,
+    parquet scan, cached, coalesce(1), NTZ, shuffle partitions 4/32/200),
+    so the trigger is narrower than first diagnosed; the pin is retained
+    because its cost is one explicit fixed-count shuffle and the failure
+    mode is silent total data loss. Scope: AQE enabled on Spark <= 4.1.x.
+    ``tests/test_io_streaming.py::test_session_window_aqe_upstream_repro``
+    is the canary on the raw (unpinned) plan."""
+    enabled = str(
+        spark.conf.get("spark.sql.adaptive.enabled", "true")
+    ).lower() == "true"
+    if not enabled:
+        return False
+    try:
+        major, minor = (int(x) for x in spark.version.split(".")[:2])
+    except ValueError:                            # pragma: no cover
+        return True                               # unknown version: stay safe
+    return (major, minor) <= (4, 1)
+
+
 def session_window_stats(
     df: DataFrame,
     key_cols: str | list[str],
@@ -54,14 +79,16 @@ def session_window_stats(
     src = df
     if watermark_delay is not None:
         src = src.withWatermark(ts_col, watermark_delay)
-    else:
+    elif _needs_aqe_session_pin(df.sparkSession):
         # Batch-mode workaround: AQE's coalesced shuffle read feeds
         # MergingSessions ZERO rows (reproduced on Spark 4.1.2, local[4],
         # even on a 3-row input — the AQEShuffleRead-coalesced Exchange
         # under Sort+MergingSessions loses every session). An explicit
         # fixed-count repartition pins the exchange so AQE leaves it
         # alone; plan-local, no session config mutated. Streaming plans
-        # disable AQE themselves, so only batch needs this.
+        # disable AQE themselves, so only batch needs this. Guarded by
+        # _needs_aqe_session_pin (AQE on + Spark <= 4.1.x) so the pin
+        # self-retires on a fixed Spark.
         try:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):

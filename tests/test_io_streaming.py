@@ -363,6 +363,62 @@ def test_session_window_boundary_matches_sessionize(spark):
         assert sz.agg(F.max("session_idx")).first()[0] == n_sessions - 1
 
 
+def test_session_window_aqe_upstream_repro(spark):
+    """Canary for the AQE-coalesce / MergingSessions interaction the
+    batch-mode repartition pin in streaming/sessions.py works around
+    (round 3 observed the raw plan returning ZERO rows with AQE on,
+    correct with AQE off, on this same Spark 4.1.2). Round 5 attempted to
+    re-reproduce across seven shapes — local relation, parquet scan,
+    cached input, coalesce(1), TIMESTAMP_NTZ, shuffle partitions
+    4/32/200 — and could NOT: the raw plan is correct on this build. This
+    test asserts the currently-correct raw behavior so drift is caught in
+    either direction: if it fails with 0 rows the round-3 bug is back and
+    the (still-active) pin is load-bearing; while it stays green across
+    rounds/environments, the pin is a retire candidate via
+    ``_needs_aqe_session_pin``."""
+    import datetime as dt
+
+    from hyperloglog_spark.streaming.sessions import _needs_aqe_session_pin
+
+    assert _needs_aqe_session_pin(spark)           # AQE on, Spark <= 4.1.x
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=10)),
+         (2, base + dt.timedelta(seconds=500))],
+        ["uid", "ts"],
+    )
+    raw = (
+        df.groupBy("uid", F.session_window(F.col("ts"), "100 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert raw.count() == 2
+
+
+def test_session_window_pin_skipped_when_aqe_off(spark):
+    """With AQE disabled the guard reports no pin needed and the raw plan
+    is correct — proving the workaround is scoped to the bug's trigger."""
+    from hyperloglog_spark.streaming import session_window_stats
+    from hyperloglog_spark.streaming.sessions import _needs_aqe_session_pin
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=10)),
+         (2, base + dt.timedelta(seconds=500))],
+        ["uid", "ts"],
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert not _needs_aqe_session_pin(spark)
+        got = session_window_stats(df, "uid", "ts", 100,
+                                   watermark_delay=None)
+        assert got.count() == 2
+        assert "Repartition" not in got._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_session_window_streaming_append(spark, tmp_path):
     """File-source stream through session_window_stats in APPEND mode:
     with a far-future sentinel row advancing the watermark, every real
