@@ -191,6 +191,23 @@ def main() -> None:
             nbits=(16 if sf <= 0.1 else 64),
             max_hamming=(3 if sf <= 0.1 else 7),
         ),
+        # the SAME query at the library defaults (64-bit sigs, 8-bit
+        # pigeonhole chunks) at every sf — recorded alongside the pinned
+        # row so one interleaved run carries both curves and the r02 pin
+        # can be retired once a cross-round baseline exists for this row
+        # (VERDICT r4 #8)
+        "embedding_neardup_docs_default": lambda: embedding_neardup_pairs(
+            t(spark, "embeddings").select("vec_id", "embedding").unionByName(
+                t(spark, "embeddings").select(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    F.expr(
+                        "concat(array(CAST(0.0 AS FLOAT)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ).alias("embedding"),
+                )
+            ),
+            "vec_id", "embedding", threshold_permille=900,
+        ),
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
             trans, ["conv_id", "text", "tool"]),

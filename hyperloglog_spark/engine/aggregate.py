@@ -319,10 +319,30 @@ def collect_merged(
     agg: SketchAggregator,
     fan_in: int = 32,
 ) -> bytes:
-    """Driver-side variant: build partials distributed, tree-merge them ON THE
-    CLUSTER (see premerged_sketch), collect exactly one row. O(sketch_size)
-    driver memory at any partition count."""
-    rows = premerged_sketch(df, value_cols, agg, fan_in=fan_in).collect()
+    """Driver-side variant: build partials distributed, reduce to one
+    sketch, collect it. Driver memory is bounded by ``fan_in`` partials at
+    any partition count — the same bound every tree task holds:
+
+    - P <= fan_in partitions: collect the partials directly (at most
+      fan_in rows — exactly what a single merge task would hold) and fold
+      them in partition order on the driver. No extra stage; this is the
+      common small-job case and the left-to-right fold the tree
+      re-brackets, so bytes are identical to the tree path.
+    - P > fan_in: tree-merge ON THE CLUSTER (see premerged_sketch) and
+      collect exactly one row. At 10^6 scan partitions and GiB-sized
+      Bloom partials the driver sees one sketch, not a PiB."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2 (got {fan_in})")
+    partials = sketch_partials(df, value_cols, agg)
+    if partials.rdd.getNumPartitions() <= fan_in:
+        rows = partials.select(
+            F.spark_partition_id().alias("__b"), F.col(SKETCH_COL)
+        ).collect()
+        if not rows:
+            raise ValueError("no input rows")
+        ordered = sorted(rows, key=lambda r: r["__b"])
+        return agg.merge_many([r[SKETCH_COL] for r in ordered])
+    rows = tree_merge_rows(partials, agg.merge_many, fan_in=fan_in).collect()
     if not rows:
         raise ValueError("no input rows")
     return rows[0][SKETCH_COL]

@@ -64,10 +64,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--tag", default="",
+                    help="suffix for the runs log and report (e.g. 'sf1' "
+                         "-> interleaved_runs_sf1.jsonl + "
+                         "INTERLEAVED_SF1.md), keeping scales separate")
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
 
-    runs_log = os.path.join(REPO, "BENCH", "interleaved_runs.jsonl")
+    suffix = f"_{args.tag}" if args.tag else ""
+    runs_log = os.path.join(REPO, "BENCH", f"interleaved_runs{suffix}.jsonl")
     os.makedirs(os.path.dirname(runs_log), exist_ok=True)
 
     if not args.report_only:
@@ -105,12 +110,14 @@ def main() -> None:
     tot_h = round(sum(r[2] for r in rows), 3)
 
     md = [
-        "# Interleaved suite bench: previous round vs HEAD",
+        f"# Interleaved suite bench: previous round vs HEAD"
+        + (f" ({args.tag})" if args.tag else ""),
         "",
         f"Same session, alternating sides ({n_rounds['baseline']} runs "
         f"each), per-query MIN per side — both sides sample the same "
         f"host-noise windows (the BENCH/CLUSTER.md policy). Common "
-        f"queries only; baseline = `{args.baseline}`.",
+        f"queries only; baseline = `{args.baseline}`; "
+        f"sf-dir = `{args.sf_dir}`.",
         "",
         "| query | baseline best (s) | HEAD best (s) | ratio |",
         "|---|---|---|---|",
@@ -125,9 +132,12 @@ def main() -> None:
         "uniform drift disappears if it was co-tenant noise; only "
         "per-query structural changes survive.",
         "",
-        "Reproduce: `python scripts/bench_interleaved.py`",
+        f"Reproduce: `python scripts/bench_interleaved.py"
+        + (f" --tag {args.tag} --sf-dir {args.sf_dir}`" if args.tag
+           else "`"),
     ]
-    with open(os.path.join(REPO, "BENCH", "INTERLEAVED.md"), "w") as f:
+    report = os.path.join(REPO, "BENCH", f"INTERLEAVED{suffix.upper()}.md")
+    with open(report, "w") as f:
         f.write("\n".join(md) + "\n")
 
     print(json.dumps({

@@ -179,3 +179,25 @@ class TestDistributedPreMerge:
         narrow = bloom_build(events.coalesce(2), "user_id", expected_items=20_000)
         wide = bloom_build(events.repartition(37), "user_id", expected_items=20_000)
         assert narrow == wide  # bitset OR is a commutative monoid
+
+    def test_small_p_direct_collect_skips_tree_stage(self, events):
+        """P <= fan_in: collect_merged folds the (at most fan_in) partials
+        driver-side — the same row bound every tree task holds — with NO
+        grouped-merge stage, and the bytes equal the tree path's (the tree
+        is a re-bracketing of this very fold)."""
+        from hyperloglog_spark.engine.aggregate import (
+            collect_merged,
+            sketch_partials,
+        )
+        from hyperloglog_spark.functions import HllAggregator
+
+        agg = HllAggregator(p=14)
+        small = events.repartition(6)
+        direct = collect_merged(small, ["user_id"], agg, fan_in=8)
+        via_tree = collect_merged(small, ["user_id"], agg, fan_in=2)
+        assert direct == via_tree
+        # the phase-1 partials plan has exactly one python-UDF stage; the
+        # small-P path must not add a grouped merge level on top of it
+        partials = sketch_partials(small, ["user_id"], agg)
+        plan = partials._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FlatMapGroupsInPandas") == 0
