@@ -211,6 +211,12 @@ def main() -> None:
         # 3 per-column distinct counts, ONE scan of the transcripts table
         "hll_multi_profile_transcripts": lambda: approx_distinct_multi(
             trans, ["conv_id", "text", "tool"]),
+        # the same profile through the jvm engine (round 5): the per-row
+        # reduction never leaves whole-stage codegen — ~1.8x at 20M turns
+        # on the suite's biggest single cost; arrow row kept for
+        # cross-round comparability (registers bit-identical)
+        "hll_multi_profile_transcripts_jvm": lambda: approx_distinct_multi(
+            trans, ["conv_id", "text", "tool"], engine="jvm"),
         # gap-based sessionization over every conversation (one window
         # shuffle + per-session agg), reduced to a 1-row summary so the
         # collect measures the operator, not driver transfer

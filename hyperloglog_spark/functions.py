@@ -591,19 +591,116 @@ class MultiHllAggregator(SketchAggregator):
         }
 
 
+def _jvm_multi_register_rows(
+    df: DataFrame, cols: list[str], p: int, group_cols: list[str]
+) -> DataFrame:
+    """One-scan per-column register reduction fully JVM-side: every row
+    emits one (column-tag, packed-register) entry per NON-NULL column
+    (the per-column COUNT(DISTINCT) null rule) through the same packed
+    kernel the arrow path uses, then ``groupBy(tag, idx).max(sigma)``
+    map-side-combines each partition to <= n_cols * 2^p register rows
+    before the shuffle. No data row and no Arrow batch leaves the JVM —
+    the multi-column analogue of ``_jvm_register_rows``, with identical
+    registers to the arrow ``MultiHllAggregator`` by construction."""
+    entries = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(i).alias("__col"),
+                _hll_packed_register_expr(c, p).alias("__packed"),
+            ),
+        )
+        for i, c in enumerate(cols)
+    ]
+    arr = F.array(*entries)
+    exploded = df.select(
+        *[F.col(g) for g in group_cols],
+        F.explode(F.filter(arr, lambda e: e.isNotNull())).alias("__e"),
+    )
+    return (
+        exploded.select(
+            *group_cols,
+            F.col("__e.__col").alias("__col"),
+            F.shiftrightunsigned(F.col("__e.__packed"), 7)
+            .cast("int").alias("__idx"),
+            F.col("__e.__packed").bitwiseAND(F.lit(127))
+            .cast("int").alias("__sigma"),
+        )
+        .groupBy(*group_cols, "__col", "__idx")
+        .agg(F.max("__sigma").alias("__rank"))
+    )
+
+
+def _jvm_multi_estimates(
+    reg_rows: DataFrame, cols: list[str], p: int, group_cols: list[str]
+) -> DataFrame:
+    """Per-group register assembly + estimate for the multi-column jvm
+    engine (tiny applyInPandas: <= n_cols * 2^p register rows per group
+    reach Python, never data rows)."""
+    n_fields = [
+        T.StructField(f"n_{c}", T.LongType(), False) for c in cols
+    ]
+
+    def fin(pdf, keep_groups: bool):
+        import pandas as pd
+
+        tags = pdf["__col"].to_numpy()
+        idxs = pdf["__idx"].to_numpy()
+        ranks = pdf["__rank"].to_numpy()
+        row = (
+            {c: [pdf[c].iloc[0]] for c in group_cols} if keep_groups else {}
+        )
+        for i, c in enumerate(cols):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            m = tags == i
+            regs[idxs[m]] = ranks[m]
+            row[f"n_{c}"] = [hll.estimate_registers(regs, p)]
+        return pd.DataFrame(row)
+
+    if group_cols:
+        group_fields = [
+            f for f in reg_rows.schema.fields if f.name in group_cols
+        ]
+        return reg_rows.groupBy(*group_cols).applyInPandas(
+            lambda pdf: fin(pdf, True),
+            T.StructType(group_fields + n_fields),
+        )
+    tmp = reg_rows.withColumn("__g", F.lit(1))
+    return tmp.groupBy("__g").applyInPandas(
+        lambda pdf: fin(pdf, False), T.StructType(n_fields)
+    )
+
+
 def approx_distinct_multi(
     df: DataFrame,
     cols: list[str],
     group_by: str | list[str] | None = None,
     p: int = hll.DEFAULT_P,
+    engine: str = "arrow",
+    expected_groups: int | None = None,
 ) -> DataFrame:
     """Per-column approximate distinct counts for ALL of ``cols`` in one
     scan (columns ``n_<col>``, optionally per group). Estimates are
     bit-identical to running approx_distinct per column — same registers,
-    one pass."""
+    one pass.
+
+    ``engine='jvm'`` keeps the whole reduction in whole-stage codegen:
+    each row explodes into one register entry per non-null column and
+    Catalyst's map-side combine collapses every partition to
+    <= n_cols * 2^p register rows before the shuffle — nothing crosses
+    the Arrow boundary per data row, which at wide scans is worth ~3-4x
+    over the arrow path (same trade as ``approx_distinct``; grouped use
+    requires ``expected_groups``, budget-checked per column)."""
     group_by = (
         [group_by] if isinstance(group_by, str) else list(group_by or [])
     )
+    engine = _resolve_jvm_grouped(
+        engine, group_by, p,
+        None if expected_groups is None else expected_groups * len(cols),
+    )
+    if engine == "jvm":
+        reg_rows = _jvm_multi_register_rows(df, cols, p, group_by)
+        return _jvm_multi_estimates(reg_rows, cols, p, group_by)
     agg = MultiHllAggregator(cols, p=p)
     return sketch_agg(df, cols, agg, group_by)
 

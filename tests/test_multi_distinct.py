@@ -65,3 +65,65 @@ class TestMultiDistinct:
         row = approx_distinct_multi(df, ["s", "i"]).collect()[0]
         assert row["n_s"] == 2
         assert row["n_i"] == 0
+
+
+class TestMultiDistinctJvmEngine:
+    """engine='jvm' keeps the multi-column reduction in whole-stage
+    codegen (explode to (tag, packed) register entries + map-side-combined
+    groupBy); same packed kernel as the arrow MultiHllAggregator, so the
+    registers — and therefore estimates — are bit-identical."""
+
+    def test_global_identical_to_arrow(self, events):
+        cols = ["user_id", "event_type", "value"]
+        a = approx_distinct_multi(events, cols).collect()
+        j = approx_distinct_multi(events, cols, engine="jvm").collect()
+        assert a == j
+
+    def test_grouped_identical_with_nulls(self, events):
+        withnulls = events.withColumn(
+            "maybe", F.when(F.col("event_id") % 7 != 0, F.col("user_id"))
+        )
+        cols = ["user_id", "maybe"]
+        a = (approx_distinct_multi(withnulls, cols, group_by="event_type")
+             .orderBy("event_type").collect())
+        j = (approx_distinct_multi(withnulls, cols, group_by="event_type",
+                                   engine="jvm", expected_groups=8)
+             .orderBy("event_type").collect())
+        assert a == j
+
+    def test_all_null_column_counts_zero_jvm(self, spark):
+        df = spark.createDataFrame(
+            [("x", None), ("y", None)], "s string, i int"
+        )
+        row = approx_distinct_multi(df, ["s", "i"], engine="jvm").collect()[0]
+        assert row["n_s"] == 2
+        assert row["n_i"] == 0
+
+    def test_single_scan_no_arrow_udf_in_reduction(self, spark, sf01_dir):
+        spark.catalog.clearCache()
+        fresh = spark.read.parquet(f"{sf01_dir}/events.parquet")
+        q = approx_distinct_multi(
+            fresh, ["user_id", "event_type"], engine="jvm"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1
+        # the per-row reduction is JVM hash aggregation; the only Python
+        # stage is the per-group register assembly (<= n_cols * 2^p rows)
+        assert "__idx" in plan
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert "MapInArrow" not in plan
+        assert_pruned_scan(q, {"user_id", "event_type"})
+
+    def test_grouped_budget_guard(self, events):
+        # unknown group cardinality -> silent arrow fallback (same rule
+        # as approx_distinct); over budget -> explicit error
+        q = approx_distinct_multi(
+            events, ["user_id", "value"], group_by="event_type",
+            engine="jvm",
+        )
+        assert "MapInArrow" in q._jdf.queryExecution().executedPlan().toString()
+        with pytest.raises(ValueError, match="budget"):
+            approx_distinct_multi(
+                events, ["user_id", "value"], group_by="event_type",
+                engine="jvm", expected_groups=1 << 24,
+            )
