@@ -100,6 +100,11 @@ def main() -> None:
         "hll_distinct_convs_jvm": lambda: approx_distinct(
             trans, "conv_id", engine="jvm"),
         "hll_texts_by_role_tool": lambda: tq.distinct_texts_by_role_tool(trans),
+        # same grouped text-distinct through the jvm engine (~2.8x at 20M
+        # turns; (role, tool) group space is known-tiny so the register-row
+        # budget is trivially met); arrow row kept for comparability
+        "hll_texts_by_role_tool_jvm": lambda: tq.distinct_texts_by_role_tool(
+            trans, engine="jvm", expected_groups=64),
         "hll_conv_tool_pairs": lambda: tq.distinct_conv_tool_pairs(trans),
         "cms_heavy_hitter_tools": lambda: tq.heavy_hitter_tools(trans),
         "kll_turn_length_q": lambda: tq.turn_length_quantiles(trans),
