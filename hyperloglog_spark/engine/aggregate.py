@@ -239,6 +239,7 @@ def tree_merge_rows(
     partials: DataFrame,
     merge_many: Callable[[list[bytes]], bytes],
     fan_in: int = 32,
+    n_partials: int | None = None,
 ) -> DataFrame:
     """Tree-reduce a one-sketch-row-per-partition DataFrame to ONE row.
 
@@ -254,8 +255,11 @@ def tree_merge_rows(
     column and at most one row (zero when ``partials`` is empty)."""
     if fan_in < 2:
         raise ValueError(f"fan_in must be >= 2 (got {fan_in})")
-    # upper bound on partial rows (empty partitions emit no row)
-    n = partials.rdd.getNumPartitions()
+    # upper bound on partial rows (empty partitions emit no row); callers
+    # that already know the partition count pass it to avoid a second
+    # DataFrame->RDD conversion
+    n = (partials.rdd.getNumPartitions()
+         if n_partials is None else n_partials)
     schema = T.StructType(
         [
             T.StructField("__b", T.LongType(), False),
@@ -334,7 +338,8 @@ def collect_merged(
     if fan_in < 2:
         raise ValueError(f"fan_in must be >= 2 (got {fan_in})")
     partials = sketch_partials(df, value_cols, agg)
-    if partials.rdd.getNumPartitions() <= fan_in:
+    n = partials.rdd.getNumPartitions()
+    if n <= fan_in:
         rows = partials.select(
             F.spark_partition_id().alias("__b"), F.col(SKETCH_COL)
         ).collect()
@@ -342,7 +347,9 @@ def collect_merged(
             raise ValueError("no input rows")
         ordered = sorted(rows, key=lambda r: r["__b"])
         return agg.merge_many([r[SKETCH_COL] for r in ordered])
-    rows = tree_merge_rows(partials, agg.merge_many, fan_in=fan_in).collect()
+    rows = tree_merge_rows(
+        partials, agg.merge_many, fan_in=fan_in, n_partials=n
+    ).collect()
     if not rows:
         raise ValueError("no input rows")
     return rows[0][SKETCH_COL]
